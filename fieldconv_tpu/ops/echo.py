@@ -1,0 +1,129 @@
+"""ECHO descriptors — fixed-shape masked rasterisation + scatter.
+
+Reference: nn/echo.py:65-148 ("ECHO: Extended Convolution Histogram of
+Orientations").  Per (edge, channel): rotate the edge's log coordinate into
+the frame of the *feature* at the source vertex, bilinearly splat the
+transported feature value into 4 bins of a rasterised disk, accumulate per
+target vertex, and return the magnitude of each bin.
+
+The reference prunes edges carrying (near-)zero features with data-dependent
+indexing (echo.py:119-127), which is shape-dynamic.  Here the same semantics
+are obtained at fixed shape by zeroing those votes (SURVEY.md §6c.2); the
+D (neighbor-slot) axis is processed in chunks under lax.scan so the
+(N, D, C)-sized vote tensors stay within a fixed memory budget.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..precomp.edge_table import EdgeTable
+from ..utils.complexops import cmul, cconj, cexpi, is_origin, soft_abs, soft_angle
+
+
+def disk_map(n_bins: int):
+    """Compact disk rasterisation map (echo.py:11-27).
+
+    Returns (dmap, dim): dmap is a (w*w,) int array mapping grid cell
+    w*i + j to a compact bin index; cells outside the disk map to 0 (the
+    reference initialises the map with zeros — votes clamped outside the
+    disk land in bin 0, a quirk we reproduce).  w = 2*n_bins+1.
+    """
+    w = 2 * n_bins + 1
+    ind = []
+    for i in range(w):
+        for j in range(w):
+            if (i - n_bins) ** 2 + (j - n_bins) ** 2 <= (n_bins + 0.25) ** 2:
+                ind.append(w * i + j)
+    dmap = np.zeros(w * w, dtype=np.int32)
+    dmap[np.array(ind)] = np.arange(len(ind), dtype=np.int32)
+    return dmap, len(ind)
+
+
+def hist_dim(n_bins: int) -> int:
+    """Descriptor dimensionality ≈ π(n_bins+0.5)² (echo_block.py:10-18)."""
+    return disk_map(n_bins)[1]
+
+
+def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 64):
+    """Compute ECHO descriptors.
+
+    x: (N, C, 2) planar tangent features.
+    Returns (N, C, dS) real descriptor magnitudes.
+    """
+    N, C = x.shape[0], x.shape[1]
+    D = table.d_slots
+    nb = n_bins
+    w = 2 * nb + 1
+    dmap_np, dS = disk_map(nb)
+    dmap = jnp.asarray(dmap_np)
+
+    # Per-source unit feature direction e^{iφ} and origin mask (echo.py:123,130)
+    phi = soft_angle(x)                     # (N, C)
+    unit_conj = cconj(cexpi(phi))           # (N, C, 2)
+    nonzero = jnp.logical_not(is_origin(x)) # (N, C)
+
+    def chunk_hist(src_c, ln_c, wxp_c, mask_c):
+        DB = src_c.shape[1]
+        xs = x[src_c]                                        # (N, DB, C, 2)
+        units = unit_conj[src_c]                             # (N, DB, C, 2)
+        valid = nonzero[src_c] & (mask_c[..., None] > 0)     # (N, DB, C)
+
+        # Align the log coordinate with the feature frame (echo.py:130)
+        aligned = cmul(ln_c[:, :, None, :], units)           # (N, DB, C, 2)
+        p = aligned * nb                                     # scale (echo.py:41)
+
+        pC = jnp.clip(jnp.ceil(p), -nb, nb).astype(jnp.int32)
+        pF = jnp.clip(jnp.floor(p), -nb, nb).astype(jnp.int32)
+        pCf, pFf = pC.astype(p.dtype), pF.astype(p.dtype)
+
+        # 4 bilinear (weight, bin) pairs (echo.py:44-59)
+        w0 = (pCf[..., 0] - p[..., 0]) * (pCf[..., 1] - p[..., 1])
+        w1 = (p[..., 0] - pFf[..., 0]) * (p[..., 1] - pFf[..., 1])
+        w2 = (p[..., 0] - pFf[..., 0]) * (pCf[..., 1] - p[..., 1])
+        w3 = (pCf[..., 0] - p[..., 0]) * (p[..., 1] - pFf[..., 1])
+        i0 = dmap[w * (pF[..., 0] + nb) + (pF[..., 1] + nb)]
+        i1 = dmap[w * (pC[..., 0] + nb) + (pC[..., 1] + nb)]
+        i2 = dmap[w * (pC[..., 0] + nb) + (pF[..., 1] + nb)]
+        i3 = dmap[w * (pF[..., 0] + nb) + (pC[..., 1] + nb)]
+
+        # Votes: feature · (w_norm · transport), masked (echo.py:136)
+        xw = cmul(xs, wxp_c[:, :, None, :])
+        xw = jnp.where(valid[..., None], xw, 0.0)
+
+        # Flat scatter into (N*C*dS, 2) (echo.py:139-148)
+        n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, DB, C), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (N, DB, C), 2)
+        base = (n_ids * C + c_ids) * dS
+
+        hist = jnp.zeros((N * C * dS, 2), dtype=x.dtype)
+        for wgt, idx in ((w0, i0), (w1, i1), (w2, i2), (w3, i3)):
+            upd = xw * wgt[..., None]
+            hist = hist.at[(base + idx).reshape(-1)].add(
+                upd.reshape(-1, 2), mode="drop"
+            )
+        return hist
+
+    if d_chunk >= D:
+        hist = chunk_hist(table.src, table.ln, table.wxp, table.mask)
+    else:
+        if D % d_chunk:
+            raise ValueError(f"d_slots={D} not a multiple of d_chunk={d_chunk}")
+        n_chunks = D // d_chunk
+        split = lambda a: jnp.moveaxis(
+            a.reshape(N, n_chunks, d_chunk, *a.shape[2:]), 1, 0
+        )
+
+        def body(acc, inputs):
+            return acc + chunk_hist(*inputs), None
+
+        init = jnp.zeros((N * C * dS, 2), dtype=x.dtype)
+        hist, _ = jax.lax.scan(
+            body,
+            init,
+            (split(table.src), split(table.ln), split(table.wxp), split(table.mask)),
+        )
+
+    return soft_abs(hist.reshape(N, C, dS, 2))

@@ -1,0 +1,158 @@
+"""Field convolution — the hot op, formulated for the MXU.
+
+Reference semantics (nn/field_conv.py:104-137): for target i, channel c,
+ring r, frequency k:
+
+    contrib[i, c, r, k] = Σ_{e: j→i}  x[j,c] · e^{-i k φ_j,c} · sten[e, r, k]
+
+with φ = softAngle(x) and sten[e,r,k] = rsten[e,r]·fwxp[e,k], followed by a
+filter contraction over (c, r, k).
+
+TPU-first design: instead of materialising the (E, C, R, K) per-edge tensor
+and scatter_add-ing it (the reference's torch_scatter hot loop,
+field_conv.py:130-134), we use the padded CSR table: gather the per-source
+tensor G[j,c,k] = x·e^{-ikφ} into (N, D, C, K) neighbor slots and contract
+the slot axis D against the radial weights with a *batched matmul*
+
+    contrib[n, r, (c,k)] = Σ_d rsten[n, d, r] · (fwxp[n,d,k] ⊙ G[src[n,d],c,k])
+
+which XLA tiles onto the MXU.  The D axis is processed in chunks via
+lax.scan so the gathered operand never exceeds a fixed VMEM/HBM budget.
+The filter contraction is one complex matmul (N, R·C·K) × (R·C·K, O).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..precomp.edge_table import EdgeTable
+from ..utils.complexops import cexpi, cmul, soft_angle
+
+
+def cmatmul(a, b):
+    """Complex matmul on planar pairs: (..., M, L, 2) x (L, P, 2) -> (..., M, P, 2)."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    f32 = jnp.float32
+    re = jnp.matmul(ar, br, preferred_element_type=f32) - jnp.matmul(
+        ai, bi, preferred_element_type=f32
+    )
+    im = jnp.matmul(ar, bi, preferred_element_type=f32) + jnp.matmul(
+        ai, br, preferred_element_type=f32
+    )
+    return jnp.stack([re, im], axis=-1)
+
+
+def rotated_source_tensor(x, band_limit):
+    """G[n, c, k] = x[n,c] · e^{-i k φ_{n,c}}, k = -B..B  (field_conv.py:128-129).
+
+    x: (N, C, 2) planar.  Returns (N, C, K, 2).
+    """
+    B = band_limit
+    phi = soft_angle(x)                                    # (N, C)
+    ks = jnp.arange(-B, B + 1, dtype=x.dtype)
+    freq = -ks[None, None, :] * phi[..., None]             # (N, C, K)
+    return cmul(x[:, :, None, :], cexpi(freq))             # (N, C, K, 2)
+
+
+def field_conv_contrib(x, table: EdgeTable, d_chunk: int = 128):
+    """Aggregate neighbor contributions.
+
+    x: (N, C, 2).  Returns contrib (N, R, C, K, 2).
+
+    Padded slots contribute nothing because rsten and fwxp are zero there —
+    no runtime masking needed in the inner loop.
+    """
+    N, C = x.shape[0], x.shape[1]
+    B, R, K = table.band_limit, table.n_rings, table.k_width
+    D = table.d_slots
+
+    G = rotated_source_tensor(x, B)                        # (N, C, K, 2)
+
+    def chunk_contrib(src_c, fwxp_c, rsten_c):
+        # src_c (N, DB); fwxp_c (N, DB, K, 2); rsten_c (N, DB, R)
+        Gs = G[src_c]                                      # (N, DB, C, K, 2)
+        H = cmul(Gs, fwxp_c[:, :, None, :, :])             # (N, DB, C, K, 2)
+        # (N, R, DB) x (N, DB, C*K*2) batched matmul -> MXU
+        DB = src_c.shape[1]
+        Hf = H.reshape(N, DB, C * K * 2)
+        part = jnp.einsum(
+            "ndr,ndm->nrm", rsten_c, Hf, preferred_element_type=jnp.float32
+        )
+        return part.reshape(N, R, C, K, 2)
+
+    if d_chunk >= D:
+        return chunk_contrib(table.src, table.fwxp, table.rsten)
+
+    if D % d_chunk:
+        raise ValueError(f"d_slots={D} not a multiple of d_chunk={d_chunk}")
+    n_chunks = D // d_chunk
+
+    def body(acc, inputs):
+        src_c, fwxp_c, rsten_c = inputs
+        return acc + chunk_contrib(src_c, fwxp_c, rsten_c), None
+
+    split = lambda a: jnp.moveaxis(
+        a.reshape(N, n_chunks, d_chunk, *a.shape[2:]), 1, 0
+    )
+    init = jnp.zeros((N, R, C, K, 2), dtype=x.dtype)
+    acc, _ = jax.lax.scan(
+        body, init, (split(table.src), split(table.fwxp), split(table.rsten))
+    )
+    return acc
+
+
+def filter_coefficients(zonal, spherical, phase, ftype, band_limit):
+    """Assemble the (O, C, R, K, 2) planar filter bank.
+
+    Reproduces the three parameterisations of nn/field_conv.py:10-33:
+      ftype 0: real zonal (O,I,R), spherical (O,I,R,B,2); K-axis =
+               [flip(conj(spherical)), zonal, spherical]
+      ftype 1: ftype 0 + per-(o,i,|k|) phase offsets e^{i·phase}
+               (folded into the coefficients here — the reference applies
+               them after the ring sum, but they are r-independent so the
+               contraction is identical)
+      ftype 2: complex zonal (O,I,R,2), spherical (O,I,R,2B,2); K-axis =
+               [spherical[..B], zonal, spherical[B..]]
+    """
+    B = band_limit
+    if ftype in (0, 1):
+        # spherical: (O, I, R, B, 2) — planar complex over positive freqs
+        neg = jnp.flip(spherical, axis=3) * jnp.array([1.0, -1.0])  # conj + flip
+        zon = jnp.stack([zonal, jnp.zeros_like(zonal)], axis=-1)[..., None, :]
+        coeff = jnp.concatenate([neg, zon, spherical], axis=3)      # (O,I,R,K,2)
+        if ftype == 1:
+            # phase: (O, I, B+1) for k=0..B; |k| applied to both signs
+            phases = jnp.concatenate([jnp.flip(phase[..., 1:], axis=-1), phase], axis=-1)
+            coeff = cmul(coeff, cexpi(phases)[:, :, None, :, :])
+        return coeff
+    elif ftype == 2:
+        # zonal: (O, I, R, 2); spherical: (O, I, R, 2B, 2)
+        coeff = jnp.concatenate(
+            [spherical[..., :B, :], zonal[..., None, :], spherical[..., B:, :]],
+            axis=3,
+        )
+        return coeff
+    raise ValueError(f"unknown ftype {ftype}")
+
+
+def apply_filters(contrib, coeff):
+    """y[n, o] = (1/K) Σ_{c,r,k} contrib[n,r,c,k] · coeff[o,c,r,k].
+
+    The 1/(2B+1) division matches field_conv.py:14,25,33.
+    contrib: (N, R, C, K, 2); coeff: (O, C, R, K, 2).  Returns (N, O, 2).
+    """
+    N, R, C, K = contrib.shape[:4]
+    O = coeff.shape[0]
+    lhs = contrib.reshape(N, R * C * K, 2)
+    rhs = jnp.transpose(coeff, (2, 1, 3, 0, 4)).reshape(R * C * K, O, 2)
+    y = cmatmul(lhs, rhs)
+    return y / K
+
+
+def field_conv(x, table: EdgeTable, zonal, spherical, phase, ftype, d_chunk=128):
+    """Full field convolution: (N, C, 2) -> (N, O, 2)."""
+    contrib = field_conv_contrib(x, table, d_chunk=d_chunk)
+    coeff = filter_coefficients(zonal, spherical, phase, ftype, table.band_limit)
+    return apply_filters(contrib, coeff)
