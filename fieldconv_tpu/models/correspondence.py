@@ -1,0 +1,54 @@
+"""FAUST dense-correspondence network (reference correspondence.ipynb cell 8)."""
+
+from __future__ import annotations
+
+import flax.linen as lnn
+
+from ..nn.modules import ECHOBlock, FCResNetBlock, LiftBlock, Linear, TangentPerceptron
+from ..precomp.edge_table import EdgeTable
+
+
+class CorrespondenceNet(lnn.Module):
+    """Lift(3→16) + 8×FCResNet with 4 meta-residuals + ECHOBlock + MLP head."""
+
+    n_classes: int = 4999
+    nf: int = 32
+    n_des: int = 12
+    n_bins: int = 2
+    band_limit: int = 1
+    n_rings: int = 3
+    ftype: int = 1
+    dropout: float = 0.5
+    d_chunk: int = 128
+
+    @lnn.compact
+    def __call__(self, pos, table: EdgeTable, *, deterministic: bool = True):
+        B, nf = self.band_limit, self.nf
+        kw = dict(
+            band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
+            d_chunk=self.d_chunk,
+        )
+        x1 = LiftBlock(
+            3, 16, n_rings=self.n_rings, ftype=self.ftype,
+            d_chunk=self.d_chunk, name="lift",
+        )(pos, table, (B, B + 1))
+
+        x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table)
+        x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table) + \
+            TangentPerceptron(16, nf, name="res1")(x1)
+        x = FCResNetBlock(nf, nf, name="resnet3", **kw)(x2, table)
+        x3 = FCResNetBlock(nf, nf, name="resnet4", **kw)(x, table) + \
+            TangentPerceptron(nf, nf, name="res2")(x2)
+        x = FCResNetBlock(nf, nf, name="resnet5", **kw)(x3, table)
+        x4 = FCResNetBlock(nf, nf, name="resnet6", **kw)(x, table) + \
+            TangentPerceptron(nf, nf, name="res3")(x3)
+        x = FCResNetBlock(nf, nf, name="resnet7", **kw)(x4, table)
+        x = FCResNetBlock(nf, 16, frontload=True, name="resnet8", **kw)(x, table) + \
+            TangentPerceptron(nf, 16, name="res4")(x4)
+
+        x = ECHOBlock(
+            16, nf, n_des=self.n_des, n_bins=self.n_bins, name="echo", **kw
+        )(x, table)
+        x = lnn.relu(Linear(nf, 256, name="lin1")(x))
+        x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return Linear(256, self.n_classes, name="lin2")(x)

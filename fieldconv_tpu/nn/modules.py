@@ -1,0 +1,220 @@
+"""flax.linen modules mirroring the reference nn/ layer.
+
+Parameterisations, shapes and init schemes match the reference modules
+exactly (citations inline) so weights can be ported 1:1 for parity tests.
+Features are planar complex: (N, C, 2) float32.  Every module takes the
+device-resident :class:`EdgeTable` instead of (supp_edges, supp_sten).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as lnn
+import jax.numpy as jnp
+
+from ..ops import echo as echo_ops
+from ..ops import field_conv as fc_ops
+from ..ops import tangent as tangent_ops
+from ..ops import trans_field as tf_ops
+from ..precomp.edge_table import EdgeTable
+from ..utils import complexops as co
+from .init import torch_linear_bias, torch_linear_weight, xavier_uniform
+
+
+class FieldConv(lnn.Module):
+    """Field convolution layer (reference nn/field_conv.py:36-137)."""
+
+    in_channels: int
+    out_channels: int
+    band_limit: int = 1
+    n_rings: int = 6
+    ftype: int = 1
+    d_chunk: int = 128
+
+    @lnn.compact
+    def __call__(self, x, table: EdgeTable):
+        O, I, R, B = self.out_channels, self.in_channels, self.n_rings, self.band_limit
+        if self.ftype in (0, 1):
+            zonal = self.param("zonal", xavier_uniform(), (O, I, R))
+            spherical = self.param("spherical", xavier_uniform(), (O, I, R, B, 2))
+            if self.ftype == 1:
+                phase = self.param("phase", xavier_uniform(), (O, I, B + 1))
+            else:
+                phase = jnp.zeros((O, I, B + 1), dtype=x.dtype)
+        else:
+            zonal = self.param("zonal", xavier_uniform(), (O, I, R, 2))
+            spherical = self.param("spherical", xavier_uniform(), (O, I, R, 2 * B, 2))
+            phase = jnp.zeros((O, I, B + 1), dtype=x.dtype)
+        return fc_ops.field_conv(
+            x, table, zonal, spherical, phase, self.ftype, d_chunk=self.d_chunk
+        )
+
+
+class TransField(lnn.Module):
+    """Learned gradient lift (reference nn/trans_field.py:27-113)."""
+
+    in_channels: int
+    out_channels: int
+    n_rings: int = 6
+    ftype: int = 1
+    d_chunk: int = 128
+
+    @lnn.compact
+    def __call__(self, x, table: EdgeTable, lift_cols: Tuple[int, int]):
+        O, I, R = self.out_channels, self.in_channels, self.n_rings
+        zonal_ang = self.param("zonalAng", xavier_uniform(), (O, I, R))
+        zonal_mag = self.param("zonalMag", xavier_uniform(), (O, I, R))
+        if self.ftype == 1:
+            phase = self.param("phase", xavier_uniform(), (O, I))
+        else:
+            phase = jnp.zeros((O, I), dtype=x.dtype)
+        return tf_ops.trans_field(
+            x, table, zonal_ang, zonal_mag, phase, self.ftype,
+            lift_cols=lift_cols, d_chunk=self.d_chunk,
+        )
+
+
+class TangentLin(lnn.Module):
+    """Bias-free complex linear layer (reference nn/tangent_lin.py:4-29)."""
+
+    in_channels: int
+    out_channels: int
+
+    @lnn.compact
+    def __call__(self, x):
+        w_re = self.param("Re", xavier_uniform(), (self.out_channels, self.in_channels))
+        # Imaginary part initialised an order of magnitude smaller
+        # (tangent_lin.py:25).
+        w_im = self.param(
+            "Im", xavier_uniform(gain=0.1), (self.out_channels, self.in_channels)
+        )
+        return tangent_ops.tangent_lin(x, w_re, w_im)
+
+
+class TangentNonLin(lnn.Module):
+    """modReLU on the radial component (reference nn/tangent_nonlin.py:8-35)."""
+
+    in_channels: int
+
+    @lnn.compact
+    def __call__(self, x):
+        bias = self.param("bias", lnn.initializers.zeros, (self.in_channels,))
+        return co.modrelu(x, bias)
+
+
+class TangentPerceptron(lnn.Module):
+    """TangentLin + modReLU (reference nn/tangent_perceptron.py:7-23)."""
+
+    in_channels: int
+    out_channels: int
+
+    @lnn.compact
+    def __call__(self, x):
+        x = TangentLin(self.in_channels, self.out_channels, name="lin")(x)
+        return TangentNonLin(self.out_channels, name="nonlin")(x)
+
+
+class LiftBlock(lnn.Module):
+    """TransField + modReLU (reference nn/lift_block.py:6-55)."""
+
+    in_channels: int
+    out_channels: int
+    n_rings: int = 6
+    ftype: int = 1
+    d_chunk: int = 128
+
+    @lnn.compact
+    def __call__(self, x, table: EdgeTable, lift_cols: Tuple[int, int]):
+        x = TransField(
+            self.in_channels, self.out_channels, self.n_rings, self.ftype,
+            self.d_chunk, name="field",
+        )(x, table, lift_cols)
+        return TangentNonLin(self.out_channels, name="nonlin")(x)
+
+
+class FCResNetBlock(lnn.Module):
+    """Two field convolutions + residual (reference nn/fc_resnet_block.py:7-88)."""
+
+    in_channels: int
+    out_channels: int
+    band_limit: int = 1
+    n_rings: int = 6
+    ftype: int = 1
+    frontload: bool = False
+    d_chunk: int = 128
+
+    @lnn.compact
+    def __call__(self, x, table: EdgeTable):
+        iC1, oC2 = self.in_channels, self.out_channels
+        if self.frontload:
+            oC1 = iC2 = self.in_channels
+        else:
+            oC1 = iC2 = self.out_channels
+        kw = dict(
+            band_limit=self.band_limit, n_rings=self.n_rings, ftype=self.ftype,
+            d_chunk=self.d_chunk,
+        )
+        h = FieldConv(iC1, oC1, name="conv1", **kw)(x, table)
+        h = TangentNonLin(oC1, name="nonlin1")(h)
+        h = FieldConv(iC2, oC2, name="conv2", **kw)(h, table)
+        res = TangentLin(iC1, oC2, name="res")(x)
+        return TangentNonLin(oC2, name="nonlin2")(res + h)
+
+
+class ECHO(lnn.Module):
+    """ECHO descriptor op (reference nn/echo.py:65-148); parameter-free."""
+
+    channels: int
+    n_bins: int = 2
+    d_chunk: int = 64
+
+    def __call__(self, x, table: EdgeTable):
+        return echo_ops.echo(x, table, self.n_bins, d_chunk=self.d_chunk)
+
+
+class Linear(lnn.Module):
+    """Dense layer with torch.nn.Linear's default init (for head parity)."""
+
+    in_features: int
+    out_features: int
+
+    @lnn.compact
+    def __call__(self, x):
+        w = self.param("weight", torch_linear_weight, (self.out_features, self.in_features))
+        b = self.param("bias", torch_linear_bias(self.in_features), (self.out_features,))
+        return x @ w.T + b
+
+
+class ECHOBlock(lnn.Module):
+    """FieldConv → modReLU → ECHO → MLP + residual (reference nn/echo_block.py:20-103)."""
+
+    in_channels: int
+    out_channels: int
+    n_des: Optional[int] = None
+    n_bins: int = 3
+    band_limit: int = 1
+    n_rings: int = 6
+    ftype: int = 1
+    d_chunk: int = 128
+
+    @lnn.compact
+    def __call__(self, x, table: EdgeTable):
+        n_des = self.in_channels if self.n_des is None else self.n_des
+        h = FieldConv(
+            self.in_channels, n_des, self.band_limit, self.n_rings, self.ftype,
+            self.d_chunk, name="conv",
+        )(x, table)
+        # NOTE: the reference constructs TangentNonLin(in_channels) but applies
+        # it to the n_des-channel conv output (echo_block.py:57,93); in every
+        # shipped config n_des defaults or equals usage widths consistently —
+        # we size the bias by the tensor it is applied to.
+        h = TangentNonLin(n_des, name="nonlin")(h)
+        h = ECHO(n_des, self.n_bins, name="echo")(h, table)
+        h = h.reshape(h.shape[0], -1)
+        mid = n_des * echo_ops.hist_dim(self.n_bins)
+        h = lnn.relu(Linear(mid, 128, name="lin1")(h))
+        h = lnn.relu(Linear(128, 64, name="lin2")(h))
+        h = Linear(64, self.out_channels, name="lin3")(h)
+        res = Linear(self.in_channels, self.out_channels, name="res")(co.soft_abs(x))
+        return h + res
