@@ -1,0 +1,146 @@
+"""Geometry-layer validation on analytic surfaces (plane, sphere)."""
+
+import numpy as np
+import pytest
+
+from fieldconv_tpu.data.synthetic import grid_mesh, icosphere
+from fieldconv_tpu.geometry.mesh import TriMesh
+from fieldconv_tpu.geometry.sampling import farthest_point_sampling, radius_graph
+from fieldconv_tpu.geometry.vhm import VectorHeatSolver
+
+
+@pytest.fixture(scope="module")
+def plane():
+    v, f = grid_mesh(15, 15, scale=1.0, jitter=0.012, seed=3)
+    return TriMesh(v, f)
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    v, f = icosphere(subdiv=3)
+    return TriMesh(v, f)
+
+
+def test_mesh_basics(plane, sphere):
+    assert abs(plane.surface_area() - 1.0) < 0.02
+    assert abs(sphere.surface_area() - 4 * np.pi) < 0.15
+    # closed sphere: no boundary; plane: boundary ring
+    assert not sphere.is_boundary_vertex.any()
+    assert plane.is_boundary_vertex.sum() > 0
+    # angle sums: flat interior vertices have total angle 2π
+    interior = ~plane.is_boundary_vertex
+    np.testing.assert_allclose(
+        plane.vertex_angle_sum[interior], 2 * np.pi, atol=1e-6
+    )
+
+
+def test_laplacian_properties(sphere):
+    L = sphere.cotan_laplacian()
+    # symmetric, rows sum to zero
+    assert abs(L - L.T).max() < 1e-10
+    assert np.abs(L @ np.ones(sphere.n)).max() < 1e-10
+    Lc = sphere.connection_laplacian()
+    assert abs(Lc - Lc.getH()).max() < 1e-10
+
+
+def test_plane_distance_euclidean(plane):
+    solver = VectorHeatSolver(plane)
+    src = plane.n // 2 + 7
+    d = solver.distance(np.array([src]))[:, 0]
+    true = np.linalg.norm(plane.v - plane.v[src], axis=1)
+    err = np.abs(d - true)[true > 0.15]
+    assert np.median(err) < 0.02, np.median(err)
+
+
+def test_sphere_distance_great_circle(sphere):
+    solver = VectorHeatSolver(sphere)
+    src = 0
+    d = solver.distance(np.array([src]))[:, 0]
+    cosang = np.clip(sphere.v @ sphere.v[src], -1, 1)
+    true = np.arccos(cosang)
+    sel = (true > 0.3) & (true < np.pi - 0.3)
+    rel = np.abs(d[sel] - true[sel]) / true[sel]
+    assert np.median(rel) < 0.03, np.median(rel)
+
+
+def test_plane_logmap_euclidean(plane):
+    """On a flat surface log_x(y) is the planar displacement expressed in
+    x's frame: magnitudes match Euclidean, and angle *differences* between
+    pairs of targets match planar angle differences (frame-gauge free)."""
+    solver = VectorHeatSolver(plane)
+    src = plane.n // 2
+    r, theta = solver.log_map(np.array([src]))
+    r, theta = r[:, 0], theta[:, 0]
+
+    disp = plane.v[:, :2] - plane.v[src, :2]
+    true_r = np.linalg.norm(disp, axis=1)
+    true_t = np.arctan2(disp[:, 1], disp[:, 0])
+
+    # stay clear of the boundary, where the heat distance legitimately bends
+    # (the production meshes are closed surfaces)
+    to_bnd = np.minimum(
+        np.minimum(plane.v[:, 0], 1 - plane.v[:, 0]),
+        np.minimum(plane.v[:, 1], 1 - plane.v[:, 1]),
+    )
+    sel = (to_bnd > 0.12) & (true_r > 0.08) & (true_r < 0.32)
+    assert np.median(np.abs(r[sel] - true_r[sel])) < 0.02
+
+    # angle differences mod 2π
+    idx = np.nonzero(sel)[0]
+    dt = theta[idx[1:]] - theta[idx[0]]
+    dt_true = true_t[idx[1:]] - true_t[idx[0]]
+    diff = np.angle(np.exp(1j * (dt - dt_true)))
+    assert np.median(np.abs(diff)) < 0.06, np.median(np.abs(diff))
+
+
+def test_transport_reflects_logarithm(plane):
+    """Flat-surface identity used by TransField (trans_field.py:102):
+    log_i(j) = -xp_{j→i} · log_j(i)."""
+    solver = VectorHeatSolver(plane)
+    a = int(np.argmin(np.linalg.norm(plane.v[:, :2] - [0.40, 0.50], axis=1)))
+    b = int(np.argmin(np.linalg.norm(plane.v[:, :2] - [0.62, 0.55], axis=1)))
+    srcs = np.array([a, b])
+    r, theta = solver.log_map(srcs)
+    xp = solver.transport(srcs)
+
+    log_ab = r[b, 0] * np.exp(1j * theta[b, 0])   # log_a(b) in a's frame
+    log_ba = r[a, 1] * np.exp(1j * theta[a, 1])   # log_b(a) in b's frame
+    # transport a→b carries a-frame vectors to b's frame: xp[b, col_a]
+    xp_ab = xp[b, 0]
+    pred_log_ba = -np.conj(xp_ab) * 0  # placeholder, computed below
+
+    # log_b(a) expressed in b frame should equal -(transport of log_a(b))
+    # transported a→b: multiply a-frame vector by xp_ab
+    pred = -xp_ab * log_ab
+    err = abs(pred - log_ba) / max(abs(log_ba), 1e-9)
+    assert err < 0.08, (pred, log_ba, err)
+
+
+def test_extend_scalar_nearest(plane):
+    solver = VectorHeatSolver(plane, t_coef=1e-4)
+    samples = farthest_point_sampling(plane.v, 9)
+    labels = np.arange(len(samples), dtype=np.float64)
+    ext = solver.extend_scalar(samples, labels)
+    snapped = np.rint(ext).astype(int).clip(0, len(samples) - 1)
+    # compare against Euclidean nearest (flat surface → geodesic == Euclidean)
+    d = np.linalg.norm(plane.v[:, None, :] - plane.v[samples][None], axis=2)
+    nearest = np.argmin(d, axis=1)
+    # ~10% disagreement is inherent to diffusing label *indices* and rounding
+    # (the reference quirk this reproduces, SURVEY.md §6c.4: vertices midway
+    # between samples round to the label average, not the nearest label)
+    agreement = np.mean(snapped == nearest)
+    assert agreement > 0.85, agreement
+
+
+def test_fps_and_radius(rng):
+    pts = rng.normal(size=(200, 3))
+    idx = farthest_point_sampling(pts, 50)
+    assert len(np.unique(idx)) == 50
+    assert np.all(np.diff(idx) > 0)
+    edges = radius_graph(pts[idx], 0.8, max_neighbors=16)
+    # sorted by source, self-edges present, degree cap respected
+    assert np.all(np.diff(edges[:, 0]) >= 0)
+    deg = np.bincount(edges[:, 0], minlength=50)
+    assert deg.max() <= 16
+    selfe = edges[edges[:, 0] == edges[:, 1]]
+    assert len(selfe) == 50
