@@ -1,0 +1,135 @@
+"""Benchmark: field-convolution SpMM throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+
+Measures the training-relevant quantity — forward+backward of a FieldConv
+layer (the reference hot loop, nn/field_conv.py:104-137) — on a synthetic
+mesh-local support graph at production scale (N=8192 targets x 128 neighbor
+slots = 1.05M edges, C=32, B=2, R=6, the SHREC11 filter configuration).
+
+vs_baseline compares against bench_baseline.json when present (recorded from
+the first TPU run of this framework; the reference publishes no numbers —
+BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_synthetic_table(N=8192, D=128, B=2, R=6, seed=0, window=512):
+    """Mesh-like support table: sources drawn from a local window around each
+    target (mimics geodesic-ball locality for realistic gather behavior)."""
+    from fieldconv_tpu.precomp.edge_table import EdgeTable
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    K = 2 * B + 1
+    base = np.arange(N)[:, None]
+    offs = rng.integers(-window // 2, window // 2, size=(N, D))
+    src = ((base + offs) % N).astype(np.int32)
+
+    r = rng.uniform(0.02, 1.0, (N, D))
+    theta = rng.uniform(-np.pi, np.pi, (N, D))
+    # radial interp weights (two adjacent rings per edge)
+    samples = np.sqrt(np.arange(R) / (R - 1))
+    rsten = np.zeros((N, D, R), np.float32)
+    ci = np.clip(np.searchsorted(samples, r), 1, R - 1)
+    wc = (r - samples[ci - 1]) / (samples[ci] - samples[ci - 1])
+    ii, dd = np.meshgrid(np.arange(N), np.arange(D), indexing="ij")
+    rsten[ii, dd, ci] = wc
+    rsten[ii, dd, ci - 1] = 1.0 - wc
+
+    ks = np.arange(-B, B + 1)
+    fs = np.exp(1j * ks[None, None, :] * theta[..., None])
+    w = rng.uniform(0.5, 1.5, (N, D)) / D
+    xp = np.exp(1j * rng.uniform(-np.pi, np.pi, (N, D)))
+    fwxp_c = fs * (w * xp)[..., None]
+    fwxp = np.stack([fwxp_c.real, fwxp_c.imag], -1).astype(np.float32)
+    ln_c = r * np.exp(1j * theta)
+    ln = np.stack([ln_c.real, ln_c.imag], -1).astype(np.float32)
+    wxp_c = w * xp
+    wxp = np.stack([wxp_c.real, wxp_c.imag], -1).astype(np.float32)
+
+    return EdgeTable(
+        src=jnp.asarray(src),
+        mask=jnp.ones((N, D), jnp.float32),
+        rsten=jnp.asarray(rsten),
+        fwxp=jnp.asarray(fwxp),
+        ln=jnp.asarray(ln),
+        wxp=jnp.asarray(wxp),
+        vmask=jnp.ones((N,), jnp.float32),
+        n_valid=N,
+        band_limit=B,
+        n_rings=R,
+    )
+
+
+def main():
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+    import jax
+    import jax.numpy as jnp
+
+    from fieldconv_tpu.ops.field_conv import field_conv
+    from fieldconv_tpu.utils.complexops import modrelu, soft_abs
+
+    N, D, B, R, C, O = 8192, 128, 2, 6, 32, 32
+    d_chunk = int(os.environ.get("BENCH_D_CHUNK", "32"))
+    table = build_synthetic_table(N=N, D=D, B=B, R=R)
+    edges = N * D
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(N, C, 2)) * 0.5, jnp.float32)
+    zonal = jnp.asarray(rng.normal(size=(O, C, R)) * 0.2, jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)) * 0.2, jnp.float32)
+    phase = jnp.asarray(rng.normal(size=(O, C, B + 1)) * 0.2, jnp.float32)
+    bias = jnp.zeros((O,), jnp.float32)
+
+    def fwd(x, zonal, sph, phase, bias):
+        y = field_conv(x, table, zonal, sph, phase, 1, d_chunk=d_chunk)
+        return jnp.sum(soft_abs(modrelu(y, bias)))
+
+    step = jax.jit(jax.grad(fwd, argnums=(0, 1, 2, 3, 4)))
+
+    # warmup/compile
+    out = step(x, zonal, sph, phase, bias)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(x, zonal, sph, phase, bias)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    edges_per_s = edges / dt
+
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = edges_per_s / base["value"]
+
+    print(json.dumps({
+        "metric": "field_conv_fwd_bwd_edges_per_s",
+        "value": round(edges_per_s),
+        "unit": "edges/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Typed experiment configuration.
+
+Covers the hyperparameter space of the reference notebooks (SURVEY.md §6b) —
+the reference keeps these as loose notebook-cell globals; here they are one
+dataclass consumed by the trainer and CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    task: str = "classification"     # classification|segmentation|correspondence|matching
+    # filter hyperparameters
+    band_limit: int = 2
+    n_rings: int = 6
+    ftype: int = 1
+    nf: int = 32
+    epsilon: float = 0.2
+    n_des: Optional[int] = None
+    n_bins: int = 3
+    # sampling
+    sample_n: Optional[int] = None
+    max_neighbors: int = 512
+    # optimisation
+    lr: float = 0.01
+    lr_decay_epoch: Optional[int] = None
+    lr_decayed: float = 0.001
+    epochs: int = 30
+    batch_step: int = 1              # gradient accumulation (notebook batch_step)
+    smoothing: float = 0.0           # label smoothing
+    n_pairs: int = 512               # twin-loss pair draws
+    twin_mu: float = 5.0
+    seed: int = 0
+    # augmentation (reference: RandomScale(0.85,1.15) + ±45° rotations)
+    random_scale: Optional[Tuple[float, float]] = (0.85, 1.15)
+    random_rotate_deg: float = 45.0
+    # runtime
+    d_chunk: int = 128
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 5
+
+
+CLASSIFICATION = ExperimentConfig(
+    task="classification", band_limit=2, n_rings=6, nf=32, epsilon=0.2,
+    lr=0.01, epochs=30,
+)   # classification.ipynb cells 3, 10, 15
+
+SEGMENTATION = ExperimentConfig(
+    task="segmentation", band_limit=2, n_rings=6, nf=48, epsilon=0.2,
+    n_des=48, n_bins=3, sample_n=1024, lr=0.01, epochs=15, smoothing=0.2,
+)   # segmentation.ipynb cells 4, 11, 16
+
+CORRESPONDENCE = ExperimentConfig(
+    task="correspondence", band_limit=1, n_rings=3, nf=32, epsilon=0.0425,
+    n_des=12, n_bins=2, lr=0.01, lr_decay_epoch=40, lr_decayed=0.001,
+    epochs=60, random_scale=None,
+)   # correspondence.ipynb cells 3, 10, 15
+
+MATCHING = ExperimentConfig(
+    task="matching", band_limit=1, n_rings=6, nf=32, epsilon=0.1,
+    sample_n=2048, lr=0.001, lr_decay_epoch=40, lr_decayed=0.001,
+    epochs=80, n_pairs=512, random_scale=None,
+)   # feature_matching.ipynb cells 4, 11, 17
+
+PRESETS = {
+    "classification": CLASSIFICATION,
+    "segmentation": SEGMENTATION,
+    "correspondence": CORRESPONDENCE,
+    "matching": MATCHING,
+}

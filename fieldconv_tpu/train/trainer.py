@@ -1,0 +1,198 @@
+"""Jitted training steps over batched mesh artifacts.
+
+The reference trains with DataLoader(batch_size=1) + optional gradient
+accumulation (classification.ipynb cell 11).  Here meshes sharing a compile
+bucket are stacked into a MeshBatch and the model is vmapped over the batch
+axis — data parallelism falls out by sharding that axis over the device mesh
+(see fieldconv_tpu/parallel).  Augmentation (random ±45° rotations + scale
+of positions only — the stencils are rotation invariant, SURVEY.md §3.2)
+runs on device inside the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn import losses
+from ..precomp.edge_table import EdgeTable
+from .config import ExperimentConfig
+
+
+@dataclasses.dataclass
+class MeshBatch:
+    """A stack of same-bucket mesh artifacts.
+
+    pos: (B, N, 3) float32 — sampled vertex positions (zero at padded rows)
+    table: EdgeTable whose data fields carry a leading batch axis
+    labels: (B,) int32 for mesh-level tasks or (B, N) int32 (-1 = padding)
+    """
+
+    pos: jnp.ndarray
+    table: EdgeTable
+    labels: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    MeshBatch, data_fields=["pos", "table", "labels"], meta_fields=[]
+)
+
+
+def stack_batch(items) -> MeshBatch:
+    """Stack (pos, table, label) triples sharing bucket shapes."""
+    poss, tables, labels = zip(*items)
+    t0 = tables[0]
+    stacked = EdgeTable(
+        src=jnp.stack([t.src for t in tables]),
+        mask=jnp.stack([t.mask for t in tables]),
+        rsten=jnp.stack([t.rsten for t in tables]),
+        fwxp=jnp.stack([t.fwxp for t in tables]),
+        ln=jnp.stack([t.ln for t in tables]),
+        wxp=jnp.stack([t.wxp for t in tables]),
+        vmask=jnp.stack([t.vmask for t in tables]),
+        n_valid=t0.n_valid,
+        band_limit=t0.band_limit,
+        n_rings=t0.n_rings,
+    )
+    return MeshBatch(
+        pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
+        table=stacked,
+        labels=jnp.stack([jnp.asarray(l) for l in labels]),
+    )
+
+
+def random_rotate_scale(key, pos, max_deg=45.0, scale_range=(0.85, 1.15)):
+    """Per-mesh random rotation about all three axes + uniform scale
+    (classification.ipynb cell 5's transform chain)."""
+    B = pos.shape[0]
+    kr, ks = jax.random.split(key)
+    angles = jax.random.uniform(
+        kr, (B, 3), minval=-max_deg, maxval=max_deg
+    ) * (jnp.pi / 180.0)
+
+    def rot_mats(a):
+        cx, sx = jnp.cos(a[0]), jnp.sin(a[0])
+        cy, sy = jnp.cos(a[1]), jnp.sin(a[1])
+        cz, sz = jnp.cos(a[2]), jnp.sin(a[2])
+        rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        return rz @ ry @ rx
+
+    R = jax.vmap(rot_mats)(angles)                       # (B, 3, 3)
+    out = jnp.einsum("bij,bnj->bni", R, pos)
+    if scale_range is not None:
+        s = jax.random.uniform(ks, (B, 1, 1), minval=scale_range[0],
+                               maxval=scale_range[1])
+        out = out * s
+    return out
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(config: ExperimentConfig, steps_per_epoch: int = 1):
+    if config.lr_decay_epoch is not None:
+        sched = optax.piecewise_constant_schedule(
+            config.lr,
+            {config.lr_decay_epoch * steps_per_epoch: config.lr_decayed / config.lr},
+        )
+    else:
+        sched = config.lr
+    opt = optax.adam(sched)
+    if config.batch_step > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=config.batch_step)
+    return opt
+
+
+def batched_apply(net, params, batch: MeshBatch, rngs=None, **kw):
+    """vmap the model over the mesh batch axis (params broadcast)."""
+    def one(pos, table):
+        return net.apply(params, pos, table, rngs=rngs, **kw)
+
+    return jax.vmap(one)(batch.pos, batch.table)
+
+
+def make_loss_fn(net, config: ExperimentConfig, n_classes: int):
+    task = config.task
+
+    def loss_fn(params, key, batch: MeshBatch):
+        pos = random_rotate_scale(
+            key, batch.pos, config.random_rotate_deg,
+            config.random_scale,
+        )
+        aug = MeshBatch(pos=pos, table=batch.table, labels=batch.labels)
+        if task == "classification":
+            logits = batched_apply(net, params, aug)[:, 0, :]   # (B, C)
+            return losses.cross_entropy(logits, batch.labels)
+        elif task == "segmentation":
+            logits = batched_apply(net, params, aug)            # (B, N, C)
+            return losses.label_smoothing_loss(
+                logits.reshape(-1, n_classes), batch.labels.reshape(-1),
+                n_classes, smoothing=config.smoothing,
+            )
+        elif task == "correspondence":
+            kd, _ = jax.random.split(key)
+            logits = batched_apply(
+                net, params, aug, deterministic=False, rngs={"dropout": kd}
+            )
+            return losses.cross_entropy(
+                logits.reshape(-1, n_classes), batch.labels.reshape(-1)
+            )
+        raise ValueError(f"no generic loss for task {task}")
+
+    return loss_fn
+
+
+def make_train_step(net, config: ExperimentConfig, n_classes: int, opt):
+    loss_fn = make_loss_fn(net, config, n_classes)
+
+    @jax.jit
+    def train_step(state: TrainState, key, batch: MeshBatch):
+        l, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": l}
+
+    return train_step
+
+
+def make_twin_train_step(net, config: ExperimentConfig, opt):
+    """Siamese step (feature_matching.ipynb cell 13): one network, two
+    meshes, twin loss over sampled positive/null pairs."""
+
+    @jax.jit
+    def train_step(state: TrainState, key, batch_s: MeshBatch, batch_t: MeshBatch,
+                   pos_pairs, null_pairs):
+        ka, kb, kl = jax.random.split(key, 3)
+
+        def loss_fn(params):
+            ps = random_rotate_scale(ka, batch_s.pos, config.random_rotate_deg,
+                                     config.random_scale)
+            pt = random_rotate_scale(kb, batch_t.pos, config.random_rotate_deg,
+                                     config.random_scale)
+            fs = batched_apply(net, params,
+                               MeshBatch(ps, batch_s.table, batch_s.labels))
+            ft = batched_apply(net, params,
+                               MeshBatch(pt, batch_t.table, batch_t.labels))
+            keys = jax.random.split(kl, fs.shape[0])
+            per_mesh = jax.vmap(
+                lambda k, s, t, pp, np_: losses.twin_loss(
+                    k, s, t, pp, np_, mu=config.twin_mu)
+            )(keys, fs, ft, pos_pairs, null_pairs)
+            return jnp.mean(per_mesh)
+
+        l, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": l}
+
+    return train_step
