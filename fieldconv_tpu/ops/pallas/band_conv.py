@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: banded field-convolution contraction.
+
+Computes, entirely on the MXU with zero gathers,
+
+    contrib[n, r, k] (complex, per channel c) =
+        Σ_{w'} rsten_band[r, n, w'] · fwxp_band[k, ·, n, w'] ⊙ G[src(n,w'), k, ·, c]
+
+over the banded layout of precomp/banded.py: the sources of target block b
+live in vertex blocks b-nh … b+nh, so the slot contraction decomposes into
+(2nh+1) dense (R·TB, TB) × (TB, 2C) matmuls per angular frequency k, with
+the complex arithmetic hand-written on planar pairs.
+
+The XLA fallback for the same math is ops/field_conv.field_conv_contrib —
+it bottlenecks on XLA's gather (~30 GB/s); this kernel replaces it at
+~100× on real chips.
+
+Backward: the transposed band matmul (S^H · dO) emits per-(block, shift)
+partials of dG that are summed with aligned block shifts outside the kernel
+(the band transpose of a scatter — no atomics, deterministic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...precomp.banded import BandedTable
+
+
+def _fwd_kernel(*refs, R, K, C, TB, NJ):
+    g_refs = refs[:NJ]
+    rsten_ref, fwxp_ref, out_ref = refs[NJ], refs[NJ + 1], refs[NJ + 2]
+    C2 = 2 * C
+    for k in range(K):
+        acc_a = jnp.zeros((R * TB, C2), jnp.float32)
+        acc_b = jnp.zeros((R * TB, C2), jnp.float32)
+        for j in range(NJ):
+            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]          # (R, TB, TB)
+            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]        # (TB, TB)
+            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
+            s_re = (rs * fre[None]).reshape(R * TB, TB)
+            s_im = (rs * fim[None]).reshape(R * TB, TB)
+            gj = g_refs[j][:, k * C2:(k + 1) * C2]              # (TB, 2C)
+            acc_a += jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            acc_b += jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        o_re = acc_a[:, :C] - acc_b[:, C:]
+        o_im = acc_a[:, C:] + acc_b[:, :C]
+        out_ref[:, (2 * k) * C:(2 * k + 1) * C] = o_re
+        out_ref[:, (2 * k + 1) * C:(2 * k + 2) * C] = o_im
+
+
+def _bwd_kernel(*refs, R, K, C, TB, NJ):
+    dout_ref, rsten_ref, fwxp_ref, part_ref = refs
+    C2 = 2 * C
+    for k in range(K):
+        d_both = dout_ref[:, k * C2:(k + 1) * C2]               # (R·TB, 2C)
+        for j in range(NJ):
+            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]
+            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]
+            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
+            s_re = (rs * fre[None]).reshape(R * TB, TB)
+            s_im = (rs * fim[None]).reshape(R * TB, TB)
+            contract_rows = (((0,), (0,)), ((), ()))
+            p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            dg_re = p1[:, :C] + p2[:, C:]
+            dg_im = p1[:, C:] - p2[:, :C]
+            part_ref[j * TB:(j + 1) * TB, (2 * k) * C:(2 * k + 1) * C] = dg_re
+            part_ref[j * TB:(j + 1) * TB, (2 * k + 1) * C:(2 * k + 2) * C] = dg_im
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _band_contrib(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
+    return _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh,
+                                  n_rings, k_width)
+
+
+def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
+    N, M = g.shape               # M = K·2·C
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    nb = N // TB
+
+    g_specs = [
+        pl.BlockSpec(
+            (TB, M),
+            functools.partial(
+                lambda b, jj: (jnp.clip(b - nh + jj, 0, nb - 1), 0), jj=j
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(NJ)
+    ]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
+        grid=(nb,),
+        in_specs=g_specs + [
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R * TB, M), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * R * TB, M), jnp.float32),
+        interpret=_interpret(),
+    )(*([g] * NJ), rsten_band, fwxp_band)
+    return out
+
+
+def _band_contrib_fwd(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
+    out = _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh,
+                                 n_rings, k_width)
+    return out, (g, rsten_band, fwxp_band)
+
+
+def _band_contrib_bwd(tb, nh, n_rings, k_width, res, dout):
+    g, rsten_band, fwxp_band = res
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    nb = N // TB
+
+    parts = pl.pallas_call(
+        functools.partial(_bwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((R * TB, M), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
+        interpret=_interpret(),
+    )(dout, rsten_band, fwxp_band)
+
+    # combine shifted partials: contribution of (block b, sub-window j)
+    # belongs to vertex block b - nh + j
+    parts = parts.reshape(nb, NJ, TB, M)
+    dg = jnp.zeros((nb, TB, M), jnp.float32)
+    for j in range(NJ):
+        d = j - nh
+        if d == 0:
+            dg = dg + parts[:, j]
+        elif d > 0:
+            dg = dg.at[d:].add(parts[:-d, j])
+        else:
+            dg = dg.at[:d].add(parts[-d:, j])
+    # zero cotangents for the (constant) stencil tables; DCE'd by XLA
+    return dg.reshape(N, M), jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band)
+
+
+_band_contrib.defvjp(_band_contrib_fwd, _band_contrib_bwd)
+
+
+def band_contrib(g, banded: BandedTable):
+    """g: (N, K·2·C) planar rotated-source tensor (k-major, see
+    rotated_source_tensor_kmajor).  Returns contrib (N, R, C, K, 2)."""
+    N, M = g.shape
+    R, K, TB = banded.n_rings, banded.k_width, banded.tb
+    C = M // (2 * K)
+    nb = N // TB
+    out = _band_contrib(
+        g, banded.rsten_band, banded.fwxp_band,
+        banded.tb, banded.nh, banded.n_rings, banded.k_width,
+    )
+    # (nb·R·TB, K·2·C) -> (N, R, C, K, 2)
+    out = out.reshape(nb, R, TB, K, 2, C)
+    return jnp.transpose(out, (0, 2, 1, 5, 3, 4)).reshape(N, R, C, K, 2)
+
+
+def rotated_source_tensor_kmajor(x, band_limit):
+    """G[n, (k, p, c)] = x[n,c]·e^{-i k φ_{n,c}} flattened k-major for the
+    kernel's contiguous per-k column panels. x: (N, C, 2)."""
+    from ..field_conv import rotated_source_tensor
+
+    G = rotated_source_tensor(x, band_limit)       # (N, C, K, 2)
+    N, C, K, _ = G.shape
+    return jnp.transpose(G, (0, 2, 3, 1)).reshape(N, K * 2 * C)
+
+
+def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype):
+    """Full field convolution over the banded layout: (N, C, 2) -> (N, O, 2)."""
+    from ..field_conv import apply_filters, filter_coefficients
+
+    g = rotated_source_tensor_kmajor(x, banded.band_limit)
+    contrib = band_contrib(g, banded)
+    coeff = filter_coefficients(zonal, spherical, phase, ftype,
+                                banded.band_limit)
+    return apply_filters(contrib, coeff)

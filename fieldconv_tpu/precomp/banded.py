@@ -1,0 +1,138 @@
+"""Banded stencil tables — the gather-free layout for the Pallas hot loop.
+
+TPU has no fast arbitrary gather; the idiomatic way to run the field-conv
+SpMM at MXU speed is to make the support-graph adjacency *band-limited*:
+re-index vertices with reverse Cuthill-McKee so every edge satisfies
+|src − tgt| ≤ bandwidth, then store the per-edge stencil factors in dense
+per-target band slots.  The runtime contraction becomes a sequence of dense
+(R·TB, TB) × (TB, 2C) matmuls over neighboring vertex blocks — no gather,
+no scatter, perfectly shaped for the MXU (see ops/pallas/band_conv.py).
+
+Layout (TB = target block size, nh = half-window in blocks, W' = (2nh+1)·TB):
+  rsten_band: (R, N, W') — radial weights of the edge (tgt n ← src s) at
+              slot w' = (s_block − n_block + nh)·TB + s%TB; 0 where no edge.
+  fwxp_band:  (K, 2, N, W') — e^{ikθ}·w·xp planar parts, same slots.
+The leading (R) / (K, 2) axes are pre-transposed so the kernel slices
+(TB, W') panels without relayout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .edge_table import EdgeTable
+
+
+@dataclasses.dataclass
+class BandedTable:
+    rsten_band: jnp.ndarray   # (R, N, W')
+    fwxp_band: jnp.ndarray    # (K, 2, N, W')
+    tb: int
+    nh: int
+    n_pad: int
+    band_limit: int
+    n_rings: int
+
+    @property
+    def w_slots(self) -> int:
+        return (2 * self.nh + 1) * self.tb
+
+    @property
+    def k_width(self) -> int:
+        return 2 * self.band_limit + 1
+
+
+jax.tree_util.register_dataclass(
+    BandedTable,
+    data_fields=["rsten_band", "fwxp_band"],
+    meta_fields=["tb", "nh", "n_pad", "band_limit", "n_rings"],
+)
+
+
+def rcm_order(supp_edges: np.ndarray, n_vertices: int) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation minimising the graph bandwidth.
+
+    Returns perm such that new_index = perm_inv[old_index]; apply with
+    `reorder_precompute`.
+    """
+    e = np.asarray(supp_edges)
+    a = sp.csr_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n_vertices, n_vertices)
+    )
+    perm = sp.csgraph.reverse_cuthill_mckee(a + a.T, symmetric_mode=True)
+    return np.asarray(perm, dtype=np.int64)
+
+
+def bandwidth(supp_edges: np.ndarray) -> int:
+    e = np.asarray(supp_edges)
+    if len(e) == 0:
+        return 0
+    return int(np.abs(e[:, 0] - e[:, 1]).max())
+
+
+def build_banded_table(
+    table: EdgeTable,
+    tb: int = 128,
+    max_nh: int = 4,
+) -> BandedTable:
+    """Convert a padded-CSR EdgeTable (whose vertex order should already be
+    bandwidth-minimised) into banded layout.
+
+    Requires n_pad % tb == 0 and graph bandwidth ≤ max_nh·tb.
+    """
+    src = np.asarray(table.src)
+    mask = np.asarray(table.mask) > 0
+    rsten = np.asarray(table.rsten)
+    fwxp = np.asarray(table.fwxp)
+    N, D = src.shape
+    R, K = table.n_rings, table.k_width
+    if N % tb:
+        raise ValueError(f"n_pad={N} not a multiple of tb={tb}")
+
+    tgt_idx, slot_idx = np.nonzero(mask)
+    s = src[tgt_idx, slot_idx]
+    bw = int(np.abs(s - tgt_idx).max()) if len(s) else 0
+    nh = max(1, -(-bw // tb))
+    if nh > max_nh:
+        raise ValueError(
+            f"graph bandwidth {bw} needs nh={nh} > max_nh={max_nh}; "
+            "re-order vertices (rcm_order) or raise max_nh"
+        )
+    Wp = (2 * nh + 1) * tb
+
+    j = (s // tb) - (tgt_idx // tb) + nh
+    wp = j * tb + (s % tb)
+    assert (wp >= 0).all() and (wp < Wp).all()
+
+    rb = np.zeros((R, N, Wp), dtype=np.float32)
+    fb = np.zeros((K, 2, N, Wp), dtype=np.float32)
+    rb[:, tgt_idx, wp] = rsten[tgt_idx, slot_idx].T
+    fb[:, :, tgt_idx, wp] = np.moveaxis(fwxp[tgt_idx, slot_idx], 0, -1)
+
+    return BandedTable(
+        rsten_band=jnp.asarray(rb),
+        fwxp_band=jnp.asarray(fb),
+        tb=tb, nh=nh, n_pad=N,
+        band_limit=table.band_limit, n_rings=table.n_rings,
+    )
+
+
+def reorder_precompute(perm: np.ndarray, supp_edges: np.ndarray, *vertex_arrays):
+    """Apply a vertex permutation: vertex v becomes position perm_pos[v].
+
+    perm: array of old indices in new order (as returned by rcm_order).
+    Returns (new_supp_edges, *reordered_vertex_arrays) — edge endpoints are
+    re-labelled; per-vertex arrays are re-ordered.
+    """
+    perm = np.asarray(perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    e = np.asarray(supp_edges)
+    new_edges = inv[e]
+    outs = tuple(np.asarray(a)[perm] for a in vertex_arrays)
+    return (new_edges,) + outs

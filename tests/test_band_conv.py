@@ -1,0 +1,134 @@
+"""Banded Pallas field-conv kernel: parity vs the XLA reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import random_graph, random_field
+from fieldconv_tpu.precomp.stencil import build_edge_table
+from fieldconv_tpu.precomp.banded import (
+    BandedTable,
+    bandwidth,
+    build_banded_table,
+    rcm_order,
+    reorder_precompute,
+)
+from fieldconv_tpu.ops.field_conv import field_conv, field_conv_contrib
+from fieldconv_tpu.ops.pallas.band_conv import (
+    band_contrib,
+    field_conv_banded,
+    rotated_source_tensor_kmajor,
+)
+
+
+def banded_graph(rng, n_vertices=64, tb=8, bw=14, B=2, R=6):
+    """Random support graph whose edges satisfy |src-tgt| <= bw (pre-banded)."""
+    edges = []
+    for i in range(n_vertices):
+        lo, hi = max(0, i - bw), min(n_vertices, i + bw + 1)
+        nbrs = rng.choice(np.arange(lo, hi), size=min(6, hi - lo), replace=False)
+        for j in nbrs:
+            edges.append((j, i))
+    g = dict(
+        edges=np.asarray(edges, dtype=np.int64),
+        log_mag=rng.uniform(0.0, 0.3, len(edges)),
+        log_ang=rng.uniform(-np.pi, np.pi, len(edges)),
+        w=rng.uniform(0.1, 1.0, n_vertices),
+        xp=np.exp(1j * rng.uniform(-np.pi, np.pi, len(edges))),
+        n_vertices=n_vertices, B=B, R=R, epsilon=0.35,
+    )
+    return g
+
+
+def tables_for(g, tb=8):
+    table = build_edge_table(
+        g["edges"], g["log_mag"], g["log_ang"], g["w"], g["xp"],
+        g["n_vertices"], g["B"], g["R"], g["epsilon"],
+        n_multiple=tb,
+    )
+    banded = build_banded_table(table, tb=tb)
+    return table, banded
+
+
+def test_band_contrib_matches_reference(rng):
+    g = banded_graph(rng)
+    table, banded = tables_for(g)
+    N, C = table.n_pad, 4
+    x = jnp.asarray(
+        np.stack([rng.normal(size=(N, C)), rng.normal(size=(N, C))], -1),
+        jnp.float32,
+    )
+    want = field_conv_contrib(x, table, d_chunk=1024)         # (N, R, C, K, 2)
+    gk = rotated_source_tensor_kmajor(x, g["B"])
+    got = band_contrib(gk, banded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_band_full_conv_and_grads(rng):
+    g = banded_graph(rng)
+    table, banded = tables_for(g)
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(
+        np.stack([rng.normal(size=(N, C)), rng.normal(size=(N, C))], -1),
+        jnp.float32,
+    )
+    zr = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    y_ref = field_conv(x, table, zr, sph, ph, 1, d_chunk=1024)
+    y_band = field_conv_banded(x, banded, zr, sph, ph, 1)
+    np.testing.assert_allclose(np.asarray(y_band), np.asarray(y_ref), atol=2e-5)
+
+    def loss_band(x, zr):
+        return jnp.sum(field_conv_banded(x, banded, zr, sph, ph, 1) ** 2)
+
+    def loss_ref(x, zr):
+        return jnp.sum(field_conv(x, table, zr, sph, ph, 1, d_chunk=1024) ** 2)
+
+    gb = jax.grad(loss_band, argnums=(0, 1))(x, zr)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, zr)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gr[0]),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gr[1]),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_rcm_reordering_reduces_bandwidth(rng):
+    g = random_graph(rng, n_vertices=60, avg_deg=5)
+    bw0 = bandwidth(g["edges"])
+    perm = rcm_order(g["edges"], g["n_vertices"])
+    new_edges, = reorder_precompute(perm, g["edges"])
+    bw1 = bandwidth(new_edges)
+    assert bw1 <= bw0
+    assert sorted(map(tuple, new_edges.tolist())) != sorted(
+        map(tuple, g["edges"].tolist())
+    ) or (perm == np.arange(len(perm))).all()
+
+
+def test_reorder_preserves_convolution(rng):
+    """Permuting vertices then convolving == convolving then permuting."""
+    g = random_graph(rng, n_vertices=40, avg_deg=5)
+    N, C, O, B, R = g["n_vertices"], 3, 2, g["B"], g["R"]
+    x = random_field(rng, N, C, zero_frac=0.0)
+    zr = rng.normal(size=(O, C, R)).astype(np.float32)
+    sph = rng.normal(size=(O, C, R, B, 2)).astype(np.float32)
+    ph = rng.normal(size=(O, C, B + 1)).astype(np.float32)
+
+    def run(edges, log_mag, log_ang, w, xp, xc):
+        table = build_edge_table(edges, log_mag, log_ang, w, xp, N, B, R,
+                                 g["epsilon"])
+        xpad = np.zeros((table.n_pad, C, 2), np.float32)
+        xpad[:N, :, 0] = xc.real
+        xpad[:N, :, 1] = xc.imag
+        y = field_conv(jnp.asarray(xpad), table, jnp.asarray(zr),
+                       jnp.asarray(sph), jnp.asarray(ph), 1, d_chunk=1024)
+        return np.asarray(y)[:N]
+
+    y0 = run(g["edges"], g["log_mag"], g["log_ang"], g["w"], g["xp"], x)
+
+    perm = rcm_order(g["edges"], N)
+    new_edges, w2, x2 = reorder_precompute(perm, g["edges"], g["w"], x)
+    y1 = run(new_edges, g["log_mag"], g["log_ang"], w2, g["xp"], x2)
+    np.testing.assert_allclose(y1, y0[perm], atol=2e-5)
