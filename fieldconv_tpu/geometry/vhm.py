@@ -174,21 +174,12 @@ class VectorHeatSolver:
         mesh = self.mesh
         if not hasattr(self, "_lsq_ops"):
             # Precompute the per-vertex 2x2 normal-equation inverse and the
-            # neighbor difference operator.
-            rows, cols, ex, ey = [], [], [], []
-            for i in range(mesh.n):
-                for j in mesh.neighbor_order[i]:
-                    h = mesh.halfedge_id(i, int(j))
-                    l = np.linalg.norm(mesh.v[int(j)] - mesh.v[i])
-                    a = mesh.he_angle[h]
-                    rows.append(i)
-                    cols.append(int(j))
-                    ex.append(l * np.cos(a))
-                    ey.append(l * np.sin(a))
-            rows = np.array(rows)
-            cols = np.array(cols)
-            ex = np.array(ex)
-            ey = np.array(ey)
+            # neighbor difference operator (one row per outgoing halfedge).
+            he = mesh.halfedges
+            rows, cols = he[:, 0], he[:, 1]
+            lens = np.linalg.norm(mesh.v[cols] - mesh.v[rows], axis=1)
+            ex = lens * np.cos(mesh.he_angle)
+            ey = lens * np.sin(mesh.he_angle)
             w = 1.0 / np.maximum(ex**2 + ey**2, 1e-300)  # inverse-length² weight
             # normal matrix entries per vertex
             a11 = np.zeros(mesh.n); a12 = np.zeros(mesh.n); a22 = np.zeros(mesh.n)
@@ -240,9 +231,8 @@ class VectorHeatSolver:
         # intrinsic angle of halfedge (x → j)
         cols = np.arange(S)
         for s, src in enumerate(srcs):
-            for j in mesh.neighbor_order[int(src)]:
-                h = mesh.halfedge_id(int(src), int(j))
-                theta[int(j), s] = mesh.he_angle[h]
+            hs = mesh.outgoing_halfedges(int(src))
+            theta[mesh.halfedges[hs, 1], s] = mesh.he_angle[hs]
         theta[srcs, cols] = 0.0
         r[srcs, cols] = 0.0
         return r, theta
