@@ -27,7 +27,7 @@ class ClassificationNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable):
+    def __call__(self, pos, table: EdgeTable, banded=None):
         B = self.band_limit
         lift_cols = (0, 1) if self.legacy_lift_slice else (B, B + 1)
         kw = dict(
@@ -39,9 +39,9 @@ class ClassificationNet(lnn.Module):
             3, self.nf, n_rings=self.n_rings, ftype=self.ftype,
             d_chunk=self.d_chunk, name="lift",
         )(pos, table, lift_cols)
-        x = FCResNetBlock(self.nf, self.nf, name="resnet1", **kw)(x, table)
-        x = FCResNetBlock(self.nf, self.nf, name="resnet2", **kw)(x, table)
-        x = FieldConv(self.nf, self.n_classes, name="conv_out", **kw)(x, table)
+        x = FCResNetBlock(self.nf, self.nf, name="resnet1", **kw)(x, table, banded)
+        x = FCResNetBlock(self.nf, self.nf, name="resnet2", **kw)(x, table, banded)
+        x = FieldConv(self.nf, self.n_classes, name="conv_out", **kw)(x, table, banded)
 
         # Masked mean pool over real vertices (cell 8: mean(softAbs(x))).
         mags = co.soft_abs(x) * table.vmask[:, None]

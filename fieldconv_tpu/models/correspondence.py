@@ -22,7 +22,7 @@ class CorrespondenceNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable, *, deterministic: bool = True):
+    def __call__(self, pos, table: EdgeTable, banded=None, *, deterministic: bool = True):
         B, nf = self.band_limit, self.nf
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
@@ -33,22 +33,22 @@ class CorrespondenceNet(lnn.Module):
             d_chunk=self.d_chunk, name="lift",
         )(pos, table, (B, B + 1))
 
-        x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table)
-        x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table) + \
+        x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table, banded)
+        x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table, banded) + \
             TangentPerceptron(16, nf, name="res1")(x1)
-        x = FCResNetBlock(nf, nf, name="resnet3", **kw)(x2, table)
-        x3 = FCResNetBlock(nf, nf, name="resnet4", **kw)(x, table) + \
+        x = FCResNetBlock(nf, nf, name="resnet3", **kw)(x2, table, banded)
+        x3 = FCResNetBlock(nf, nf, name="resnet4", **kw)(x, table, banded) + \
             TangentPerceptron(nf, nf, name="res2")(x2)
-        x = FCResNetBlock(nf, nf, name="resnet5", **kw)(x3, table)
-        x4 = FCResNetBlock(nf, nf, name="resnet6", **kw)(x, table) + \
+        x = FCResNetBlock(nf, nf, name="resnet5", **kw)(x3, table, banded)
+        x4 = FCResNetBlock(nf, nf, name="resnet6", **kw)(x, table, banded) + \
             TangentPerceptron(nf, nf, name="res3")(x3)
-        x = FCResNetBlock(nf, nf, name="resnet7", **kw)(x4, table)
-        x = FCResNetBlock(nf, 16, frontload=True, name="resnet8", **kw)(x, table) + \
+        x = FCResNetBlock(nf, nf, name="resnet7", **kw)(x4, table, banded)
+        x = FCResNetBlock(nf, 16, frontload=True, name="resnet8", **kw)(x, table, banded) + \
             TangentPerceptron(nf, 16, name="res4")(x4)
 
         x = ECHOBlock(
             16, nf, n_des=self.n_des, n_bins=self.n_bins, name="echo", **kw
-        )(x, table)
+        )(x, table, banded)
         x = lnn.relu(Linear(nf, 256, name="lin1")(x))
         x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)
         return Linear(256, self.n_classes, name="lin2")(x)

@@ -22,7 +22,7 @@ class MatchingNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable):
+    def __call__(self, pos, table: EdgeTable, banded=None):
         B, nf = self.band_limit, self.nf
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
@@ -33,17 +33,17 @@ class MatchingNet(lnn.Module):
             d_chunk=self.d_chunk, name="lift",
         )(pos, table, (B, B + 1))
 
-        x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table)
-        x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table) + \
+        x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table, banded)
+        x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table, banded) + \
             TangentPerceptron(16, nf, name="res1")(x1)
-        x = FCResNetBlock(nf, nf, name="resnet3", **kw)(x2, table)
-        x3 = FCResNetBlock(nf, nf, name="resnet4", **kw)(x, table) + \
+        x = FCResNetBlock(nf, nf, name="resnet3", **kw)(x2, table, banded)
+        x3 = FCResNetBlock(nf, nf, name="resnet4", **kw)(x, table, banded) + \
             TangentPerceptron(nf, nf, name="res2")(x2)
-        x = FCResNetBlock(nf, nf, name="resnet5", **kw)(x3, table)
-        x4 = FCResNetBlock(nf, nf, name="resnet6", **kw)(x, table) + \
+        x = FCResNetBlock(nf, nf, name="resnet5", **kw)(x3, table, banded)
+        x4 = FCResNetBlock(nf, nf, name="resnet6", **kw)(x, table, banded) + \
             TangentPerceptron(nf, nf, name="res3")(x3)
-        x = FCResNetBlock(nf, nf, name="resnet7", **kw)(x4, table)
-        x = FCResNetBlock(nf, nf, name="resnet8", **kw)(x, table) + \
+        x = FCResNetBlock(nf, nf, name="resnet7", **kw)(x4, table, banded)
+        x = FCResNetBlock(nf, nf, name="resnet8", **kw)(x, table, banded) + \
             TangentPerceptron(nf, nf, name="res4")(x4)
 
         x = TangentPerceptron(nf, self.descriptor_dim, name="out")(x)

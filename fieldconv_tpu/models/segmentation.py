@@ -21,7 +21,7 @@ class SegmentationNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable):
+    def __call__(self, pos, table: EdgeTable, banded=None):
         B = self.band_limit
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
@@ -32,8 +32,8 @@ class SegmentationNet(lnn.Module):
             d_chunk=self.d_chunk, name="lift",
         )(pos, table, (B, B + 1))
         for i in range(1, 5):
-            x = FCResNetBlock(self.nf, self.nf, name=f"resnet{i}", **kw)(x, table)
+            x = FCResNetBlock(self.nf, self.nf, name=f"resnet{i}", **kw)(x, table, banded)
         return ECHOBlock(
             self.nf, self.n_classes, n_des=self.n_des, n_bins=self.n_bins,
             name="echo", **kw,
-        )(x, table)
+        )(x, table, banded)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..ops import echo as echo_ops
 from ..ops import field_conv as fc_ops
+from ..ops.pallas import band_conv as band_ops
 from ..ops import tangent as tangent_ops
 from ..ops import trans_field as tf_ops
 from ..precomp.edge_table import EdgeTable
@@ -33,7 +34,7 @@ class FieldConv(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, x, table: EdgeTable):
+    def __call__(self, x, table: EdgeTable, banded=None):
         O, I, R, B = self.out_channels, self.in_channels, self.n_rings, self.band_limit
         if self.ftype in (0, 1):
             zonal = self.param("zonal", xavier_uniform(), (O, I, R))
@@ -46,6 +47,11 @@ class FieldConv(lnn.Module):
             zonal = self.param("zonal", xavier_uniform(), (O, I, R, 2))
             spherical = self.param("spherical", xavier_uniform(), (O, I, R, 2 * B, 2))
             phase = jnp.zeros((O, I, B + 1), dtype=x.dtype)
+        if banded is not None:
+            # gather-free Pallas path (ops/pallas/band_conv.py)
+            return band_ops.field_conv_banded(
+                x, banded, zonal, spherical, phase, self.ftype
+            )
         return fc_ops.field_conv(
             x, table, zonal, spherical, phase, self.ftype, d_chunk=self.d_chunk
         )
@@ -145,7 +151,7 @@ class FCResNetBlock(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, x, table: EdgeTable):
+    def __call__(self, x, table: EdgeTable, banded=None):
         iC1, oC2 = self.in_channels, self.out_channels
         if self.frontload:
             oC1 = iC2 = self.in_channels
@@ -155,9 +161,9 @@ class FCResNetBlock(lnn.Module):
             band_limit=self.band_limit, n_rings=self.n_rings, ftype=self.ftype,
             d_chunk=self.d_chunk,
         )
-        h = FieldConv(iC1, oC1, name="conv1", **kw)(x, table)
+        h = FieldConv(iC1, oC1, name="conv1", **kw)(x, table, banded)
         h = TangentNonLin(oC1, name="nonlin1")(h)
-        h = FieldConv(iC2, oC2, name="conv2", **kw)(h, table)
+        h = FieldConv(iC2, oC2, name="conv2", **kw)(h, table, banded)
         res = TangentLin(iC1, oC2, name="res")(x)
         return TangentNonLin(oC2, name="nonlin2")(res + h)
 
@@ -199,12 +205,12 @@ class ECHOBlock(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, x, table: EdgeTable):
+    def __call__(self, x, table: EdgeTable, banded=None):
         n_des = self.in_channels if self.n_des is None else self.n_des
         h = FieldConv(
             self.in_channels, n_des, self.band_limit, self.n_rings, self.ftype,
             self.d_chunk, name="conv",
-        )(x, table)
+        )(x, table, banded)
         # NOTE: the reference constructs TangentNonLin(in_channels) but applies
         # it to the n_des-channel conv output (echo_block.py:57,93); in every
         # shipped config n_des defaults or equals usage widths consistently —

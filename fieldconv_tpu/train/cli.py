@@ -1,0 +1,120 @@
+"""Command-line entry points replacing the reference's four notebooks.
+
+    python -m fieldconv_tpu.train.cli --task classification --root data/SHREC11
+    python -m fieldconv_tpu.train.cli --task segmentation  --root data/SHAPESEG
+    python -m fieldconv_tpu.train.cli --task correspondence --root data/FAUSTRM
+    python -m fieldconv_tpu.train.cli --task synthetic      # no data needed
+
+The synthetic task trains the classification net on generated deformed
+spheres — a data-free smoke/regression run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", required=True,
+                   choices=["classification", "segmentation",
+                            "correspondence", "synthetic"])
+    p.add_argument("--root", default=None, help="dataset root directory")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--banded-tb", type=int, default=None,
+                   help="enable the banded Pallas conv path with this block size")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--log", default=None, help="metrics JSONL path")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (tpu/cpu)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import PRESETS, ExperimentConfig
+    from .loop import fit
+
+    if args.task == "synthetic":
+        config = ExperimentConfig(task="classification", band_limit=2,
+                                  n_rings=4, nf=8, epochs=args.epochs or 10,
+                                  checkpoint_dir=args.checkpoint_dir)
+        records, n_classes = synthetic_records()
+        # one held-out mesh per class
+        test_recs = [records[0], records[-1]]
+        train_recs = records[1:-1]
+    else:
+        config = PRESETS[args.task]
+        overrides = {}
+        if args.epochs:
+            overrides["epochs"] = args.epochs
+        if args.checkpoint_dir:
+            overrides["checkpoint_dir"] = args.checkpoint_dir
+        if overrides:
+            config = dataclasses.replace(config, **overrides)
+        if not args.root:
+            raise SystemExit("--root required for dataset tasks")
+        train_recs, test_recs, n_classes = load_dataset(args.task, args.root,
+                                                        config)
+
+    net, state, metric = fit(
+        config, train_recs, test_recs, n_classes=n_classes,
+        batch_size=args.batch_size, banded_tb=args.banded_tb,
+        log_path=args.log, seed=args.seed,
+    )
+    if metric is not None:
+        print(f"final eval metric: {metric:.4f}")
+    return metric
+
+
+def load_dataset(task, root, config):
+    from ..data import FAUSTRM, SHAPESEG, SHREC11
+
+    if task == "classification":
+        tr = SHREC11(root, train=True, epsilon=config.epsilon)
+        te = SHREC11(root, train=False, epsilon=config.epsilon)
+        return tr.records(), te.records(), SHREC11.n_classes
+    if task == "segmentation":
+        tr = SHAPESEG(root, train=True, epsilon=config.epsilon,
+                      sample_n=config.sample_n)
+        te = SHAPESEG(root, train=False, epsilon=config.epsilon,
+                      sample_n=config.sample_n)
+        return tr.records(), te.records(), SHAPESEG.n_classes
+    if task == "correspondence":
+        tr = FAUSTRM(root, train=True, epsilon=config.epsilon)
+        te = FAUSTRM(root, train=False, epsilon=config.epsilon)
+        return tr.records(), te.records(), FAUSTRM.n_classes
+    raise ValueError(task)
+
+
+def synthetic_records(n_per_class=3, n_classes=2):
+    from ..data.base import process_mesh
+    from ..data.synthetic import icosphere
+
+    rng = np.random.default_rng(0)
+    records = []
+    for c in range(n_classes):
+        for k in range(n_per_class):
+            v, f = icosphere(subdiv=2)
+            v = v * np.array([1.0, 1.0, 1.0 + 0.6 * c])
+            v = v + rng.normal(scale=0.01, size=v.shape)
+            records.append(process_mesh(
+                v, f, epsilon=0.35, sample_n=None,
+                name=f"syn{c}_{k}", labels=np.int64(c),
+            ))
+    return records, n_classes
+
+
+if __name__ == "__main__":
+    main()

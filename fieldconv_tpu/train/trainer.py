@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..nn import losses
+from ..precomp.banded import BandedTable, build_banded_table
 from ..precomp.edge_table import EdgeTable
 from .config import ExperimentConfig
 
@@ -31,20 +32,26 @@ class MeshBatch:
     pos: (B, N, 3) float32 — sampled vertex positions (zero at padded rows)
     table: EdgeTable whose data fields carry a leading batch axis
     labels: (B,) int32 for mesh-level tasks or (B, N) int32 (-1 = padding)
+    banded: optional batched BandedTable for the Pallas conv path
     """
 
     pos: jnp.ndarray
     table: EdgeTable
     labels: jnp.ndarray
+    banded: Optional[BandedTable] = None
 
 
 jax.tree_util.register_dataclass(
-    MeshBatch, data_fields=["pos", "table", "labels"], meta_fields=[]
+    MeshBatch, data_fields=["pos", "table", "labels", "banded"], meta_fields=[]
 )
 
 
-def stack_batch(items) -> MeshBatch:
-    """Stack (pos, table, label) triples sharing bucket shapes."""
+def stack_batch(items, banded_tb: Optional[int] = None) -> MeshBatch:
+    """Stack (pos, table, label) triples sharing bucket shapes.
+
+    banded_tb: when set, also build + stack BandedTables (Pallas conv path)
+    with that target-block size.
+    """
     poss, tables, labels = zip(*items)
     t0 = tables[0]
     stacked = EdgeTable(
@@ -59,10 +66,41 @@ def stack_batch(items) -> MeshBatch:
         band_limit=t0.band_limit,
         n_rings=t0.n_rings,
     )
+    banded = None
+    if banded_tb is not None:
+        bs = [build_banded_table(t, tb=banded_tb) for t in tables]
+        nh = max(b.nh for b in bs)
+        bs = [_pad_banded(b, nh) for b in bs]
+        banded = BandedTable(
+            rsten_band=jnp.stack([b.rsten_band for b in bs]),
+            fwxp_band=jnp.stack([b.fwxp_band for b in bs]),
+            tb=banded_tb, nh=nh, n_pad=bs[0].n_pad,
+            band_limit=t0.band_limit, n_rings=t0.n_rings,
+        )
     return MeshBatch(
         pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
         table=stacked,
         labels=jnp.stack([jnp.asarray(l) for l in labels]),
+        banded=banded,
+    )
+
+
+def _pad_banded(b: BandedTable, nh: int) -> BandedTable:
+    """Widen a banded table to a larger half-window (zero slots)."""
+    if b.nh == nh:
+        return b
+    import numpy as _np
+
+    grow = (nh - b.nh) * b.tb
+    rs = _np.asarray(b.rsten_band)
+    fw = _np.asarray(b.fwxp_band)
+    pad_r = [(0, 0)] * (rs.ndim - 1) + [(grow, grow)]
+    pad_f = [(0, 0)] * (fw.ndim - 1) + [(grow, grow)]
+    return BandedTable(
+        rsten_band=jnp.asarray(_np.pad(rs, pad_r)),
+        fwxp_band=jnp.asarray(_np.pad(fw, pad_f)),
+        tb=b.tb, nh=nh, n_pad=b.n_pad,
+        band_limit=b.band_limit, n_rings=b.n_rings,
     )
 
 
@@ -115,6 +153,12 @@ def make_optimizer(config: ExperimentConfig, steps_per_epoch: int = 1):
 
 def batched_apply(net, params, batch: MeshBatch, rngs=None, **kw):
     """vmap the model over the mesh batch axis (params broadcast)."""
+    if batch.banded is not None:
+        def one_b(pos, table, banded):
+            return net.apply(params, pos, table, banded, rngs=rngs, **kw)
+
+        return jax.vmap(one_b)(batch.pos, batch.table, batch.banded)
+
     def one(pos, table):
         return net.apply(params, pos, table, rngs=rngs, **kw)
 
@@ -129,7 +173,8 @@ def make_loss_fn(net, config: ExperimentConfig, n_classes: int):
             key, batch.pos, config.random_rotate_deg,
             config.random_scale,
         )
-        aug = MeshBatch(pos=pos, table=batch.table, labels=batch.labels)
+        aug = MeshBatch(pos=pos, table=batch.table, labels=batch.labels,
+                        banded=batch.banded)
         if task == "classification":
             logits = batched_apply(net, params, aug)[:, 0, :]   # (B, C)
             return losses.cross_entropy(logits, batch.labels)
@@ -180,9 +225,11 @@ def make_twin_train_step(net, config: ExperimentConfig, opt):
             pt = random_rotate_scale(kb, batch_t.pos, config.random_rotate_deg,
                                      config.random_scale)
             fs = batched_apply(net, params,
-                               MeshBatch(ps, batch_s.table, batch_s.labels))
+                               MeshBatch(ps, batch_s.table, batch_s.labels,
+                                         batch_s.banded))
             ft = batched_apply(net, params,
-                               MeshBatch(pt, batch_t.table, batch_t.labels))
+                               MeshBatch(pt, batch_t.table, batch_t.labels,
+                                         batch_t.banded))
             keys = jax.random.split(kl, fs.shape[0])
             per_mesh = jax.vmap(
                 lambda k, s, t, pp, np_: losses.twin_loss(

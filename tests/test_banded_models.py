@@ -1,0 +1,49 @@
+"""Banded Pallas path through the full models: parity with the XLA path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from test_band_conv import banded_graph, tables_for
+from fieldconv_tpu.models import ClassificationNet
+from fieldconv_tpu.train.trainer import stack_batch, batched_apply, MeshBatch
+
+
+def test_model_banded_matches_xla(rng):
+    g = banded_graph(rng, n_vertices=64, tb=8, bw=14)
+    table, banded = tables_for(g, tb=8)
+    pos = np.zeros((table.n_pad, 3), np.float32)
+    pos[: table.n_valid] = rng.normal(size=(table.n_valid, 3))
+    pos = jnp.asarray(pos)
+
+    net = ClassificationNet(n_classes=5, nf=6, band_limit=g["B"], n_rings=g["R"])
+    params = net.init(jax.random.key(0), pos, table)
+    y_xla = net.apply(params, pos, table)
+    y_band = net.apply(params, pos, table, banded)
+    np.testing.assert_allclose(
+        np.asarray(y_band), np.asarray(y_xla), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_stack_batch_banded_and_vmap(rng):
+    g = banded_graph(rng, n_vertices=64, tb=8, bw=14)
+    table, _ = tables_for(g, tb=8)
+    pos = np.zeros((table.n_pad, 3), np.float32)
+    pos[: table.n_valid] = rng.normal(size=(table.n_valid, 3))
+
+    batch = stack_batch(
+        [(pos, table, np.int32(0)), (pos, table, np.int32(1))], banded_tb=8
+    )
+    assert batch.banded is not None
+    assert batch.banded.rsten_band.ndim == 4  # leading batch axis
+
+    net = ClassificationNet(n_classes=5, nf=6, band_limit=g["B"], n_rings=g["R"])
+    params = net.init(jax.random.key(0), jnp.asarray(pos), table)
+    out = batched_apply(net, params, batch)
+    assert out.shape == (2, 1, 5)
+
+    batch_plain = MeshBatch(batch.pos, batch.table, batch.labels, None)
+    out_plain = batched_apply(net, params, batch_plain)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_plain), atol=1e-4, rtol=1e-4
+    )
