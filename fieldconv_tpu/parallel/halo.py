@@ -1,0 +1,181 @@
+"""Graph-parallel field convolution with explicit halo exchange.
+
+The banded layout (precomp/banded.py) shards naturally: each device of the
+'graph' axis owns a contiguous range of vertex blocks; every edge reaches at
+most nh blocks away, so the only remote data a device needs is the nh·TB
+boundary rows of its ring neighbors — the *halo*.  Forward: ppermute the
+boundary rows of the rotated-source tensor G, run the local band kernel on
+the extended array.  Backward: the transposed kernel produces cotangents
+for halo rows, which ppermute back to their owners (the deterministic band
+transpose of a scatter — partition count does not change the sums'
+structure).
+
+This is the mesh analog of context parallelism (SURVEY.md §5.7): collect
+boundary features over ICI, overlap with local SpMM.  Use under
+jax.shard_map with the vertex/block axis sharded on `axis_name`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..precomp.banded import BandedTable
+from ..ops.pallas.band_conv import _bwd_kernel, _fwd_kernel, _interpret
+
+
+def _halo_fwd_impl(g_ext, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
+    """Band contraction of local targets against a halo-extended G.
+
+    g_ext: (N_local + 2·nh·TB, M); tables: local rows (N_local, ·).
+    Target block b reads g_ext blocks b+j (no clipping — halos supply the
+    ends, zero stencil slots cover the global boundary).
+    """
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    N_local = rsten_band.shape[1]
+    M = g_ext.shape[1]
+    C = M // (2 * K)
+    nb = N_local // TB
+
+    g_specs = [
+        pl.BlockSpec(
+            (TB, M),
+            functools.partial(lambda b, jj: (b + jj, 0), jj=j),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(NJ)
+    ]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
+        grid=(nb,),
+        in_specs=g_specs + [
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R * TB, M), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * R * TB, M), jnp.float32),
+        interpret=_interpret(),
+    )(*([g_ext] * NJ), rsten_band, fwxp_band)
+
+
+def _halo_bwd_impl(dout, rsten_band, fwxp_band, tb, nh, n_rings, k_width, M):
+    """Transposed band matmul: per-(block, shift) partials of dG_ext."""
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    N_local = rsten_band.shape[1]
+    C = M // (2 * K)
+    nb = N_local // TB
+
+    parts = pl.pallas_call(
+        functools.partial(_bwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((R * TB, M), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
+        interpret=_interpret(),
+    )(dout, rsten_band, fwxp_band)
+
+    # combine: contribution of (local block b, sub-window j) belongs to
+    # extended block b + j
+    parts = parts.reshape(nb, NJ, TB, M)
+    dg_ext = jnp.zeros((nb + 2 * nh, TB, M), jnp.float32)
+    for j in range(NJ):
+        dg_ext = dg_ext.at[j:j + nb].add(parts[:, j])
+    return dg_ext.reshape((nb + 2 * nh) * TB, M)
+
+
+def _exchange_halos(g_local, hw, axis_name):
+    """Collect the last/first hw rows of the ring neighbors.
+
+    Returns (left_halo, right_halo), each (hw, M): left = previous device's
+    tail, right = next device's head.  Edge devices receive zeros (no
+    wraparound — the vertex range is linear, not cyclic).
+    """
+    n_dev = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    left = jax.lax.ppermute(g_local[-hw:], axis_name, fwd)
+    right = jax.lax.ppermute(g_local[:hw], axis_name, bwd)
+    left = jnp.where(idx == 0, 0.0, left)
+    right = jnp.where(idx == n_dev - 1, 0.0, right)
+    return left, right
+
+
+def _return_halos(dg_ext, hw, axis_name):
+    """Send halo-row cotangents back to their owners and add."""
+    n_dev = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    d_left, local, d_right = dg_ext[:hw], dg_ext[hw:-hw], dg_ext[-hw:]
+    # d_left belongs to the previous device's tail: send backward
+    from_next = jax.lax.ppermute(d_left, axis_name, bwd)
+    from_prev = jax.lax.ppermute(d_right, axis_name, fwd)
+    from_next = jnp.where(idx == n_dev - 1, 0.0, from_next)
+    from_prev = jnp.where(idx == 0, 0.0, from_prev)
+    local = local.at[-hw:].add(from_next)
+    local = local.at[:hw].add(from_prev)
+    return local
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def halo_band_contrib(g_local, rsten_band, fwxp_band, tb, nh, n_rings,
+                      k_width, axis_name):
+    out, _ = _halo_fwd(g_local, rsten_band, fwxp_band, tb, nh, n_rings,
+                       k_width, axis_name)
+    return out
+
+
+def _halo_fwd(g_local, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
+              axis_name):
+    hw = nh * tb
+    left, right = _exchange_halos(g_local, hw, axis_name)
+    g_ext = jnp.concatenate([left, g_local, right], axis=0)
+    out = _halo_fwd_impl(g_ext, rsten_band, fwxp_band, tb, nh, n_rings,
+                         k_width)
+    return out, (g_local, rsten_band, fwxp_band)
+
+
+def _halo_bwd(tb, nh, n_rings, k_width, axis_name, res, dout):
+    g_local, rsten_band, fwxp_band = res
+    hw = nh * tb
+    dg_ext = _halo_bwd_impl(dout, rsten_band, fwxp_band, tb, nh, n_rings,
+                            k_width, g_local.shape[1])
+    dg = _return_halos(dg_ext, hw, axis_name)
+    return dg, jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band)
+
+
+halo_band_contrib.defvjp(_halo_fwd, _halo_bwd)
+
+
+def halo_contrib(g_local, banded_local: BandedTable, axis_name: str):
+    """Sharded equivalent of ops.pallas.band_conv.band_contrib: g_local and
+    the banded tables hold this device's vertex rows; returns local contrib
+    (N_local, R, C, K, 2)."""
+    N_local, M = g_local.shape
+    R, K, TB = banded_local.n_rings, banded_local.k_width, banded_local.tb
+    C = M // (2 * K)
+    nb = N_local // TB
+    out = halo_band_contrib(
+        g_local, banded_local.rsten_band, banded_local.fwxp_band,
+        TB, banded_local.nh, R, K, axis_name,
+    )
+    out = out.reshape(nb, R, TB, K, 2, C)
+    return jnp.transpose(out, (0, 2, 1, 5, 3, 4)).reshape(N_local, R, C, K, 2)

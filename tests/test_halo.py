@@ -1,0 +1,101 @@
+"""Halo-exchange graph-parallel band conv: N-device == 1-device parity
+(the fake multi-chip backend of SURVEY.md §4: 8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from test_band_conv import banded_graph, tables_for
+from fieldconv_tpu.ops.pallas.band_conv import (
+    band_contrib,
+    rotated_source_tensor_kmajor,
+)
+from fieldconv_tpu.parallel.halo import halo_contrib
+from fieldconv_tpu.precomp.banded import BandedTable
+
+
+def shard_banded(banded: BandedTable, n_dev: int):
+    """Slice per-device banded tables along the target-vertex axis."""
+    outs = []
+    N = banded.n_pad
+    per = N // n_dev
+    for d in range(n_dev):
+        outs.append(BandedTable(
+            rsten_band=banded.rsten_band[:, d * per:(d + 1) * per],
+            fwxp_band=banded.fwxp_band[:, :, d * per:(d + 1) * per],
+            tb=banded.tb, nh=banded.nh, n_pad=per,
+            band_limit=banded.band_limit, n_rings=banded.n_rings,
+        ))
+    return outs
+
+
+def test_halo_matches_single_device(rng):
+    n_dev = 4
+    # 16 blocks of 8 vertices over 4 devices (4 blocks each), bandwidth <= TB
+    g = banded_graph(rng, n_vertices=128, tb=8, bw=7)
+    table, banded = tables_for(g, tb=8)
+    assert banded.nh == 1
+    N, C, B = table.n_pad, 3, g["B"]
+    x = jnp.asarray(rng.normal(size=(N, C, 2)), jnp.float32)
+    gk = rotated_source_tensor_kmajor(x, B)
+
+    want = band_contrib(gk, banded)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
+
+    def sharded_fn(gk, rsten, fwxp):
+        local = BandedTable(
+            rsten_band=rsten, fwxp_band=fwxp, tb=banded.tb, nh=banded.nh,
+            n_pad=gk.shape[0], band_limit=banded.band_limit,
+            n_rings=banded.n_rings,
+        )
+        return halo_contrib(gk, local, "graph")
+
+    fn = jax.jit(jax.shard_map(
+        sharded_fn,
+        mesh=mesh,
+        in_specs=(P("graph"), P(None, "graph"), P(None, None, "graph")),
+        out_specs=P("graph"),
+        check_vma=False,
+    ))
+    got = fn(gk, banded.rsten_band, banded.fwxp_band)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_halo_gradients_match(rng):
+    n_dev = 4
+    g = banded_graph(rng, n_vertices=128, tb=8, bw=7)
+    table, banded = tables_for(g, tb=8)
+    N, C, B = table.n_pad, 3, g["B"]
+    x = jnp.asarray(rng.normal(size=(N, C, 2)), jnp.float32)
+    gk = rotated_source_tensor_kmajor(x, B)
+
+    grad_ref = jax.grad(lambda gk: jnp.sum(band_contrib(gk, banded) ** 2))(gk)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
+
+    def sharded_loss(gk, rsten, fwxp):
+        local = BandedTable(
+            rsten_band=rsten, fwxp_band=fwxp, tb=banded.tb, nh=banded.nh,
+            n_pad=gk.shape[0], band_limit=banded.band_limit,
+            n_rings=banded.n_rings,
+        )
+        out = halo_contrib(gk, local, "graph")
+        return jax.lax.psum(jnp.sum(out ** 2), "graph")
+
+    def loss(gk, rsten, fwxp):
+        per_dev = jax.shard_map(
+            sharded_loss, mesh=mesh,
+            in_specs=(P("graph"), P(None, "graph"), P(None, None, "graph")),
+            out_specs=P(),
+            check_vma=False,
+        )(gk, rsten, fwxp)
+        return per_dev
+
+    grad_sharded = jax.jit(jax.grad(loss))(
+        gk, banded.rsten_band, banded.fwxp_band
+    )
+    np.testing.assert_allclose(
+        np.asarray(grad_sharded), np.asarray(grad_ref), atol=5e-4, rtol=1e-3
+    )
