@@ -173,7 +173,7 @@ class ECHO(lnn.Module):
 
     channels: int
     n_bins: int = 2
-    d_chunk: int = 64
+    d_chunk: int = 32
 
     def __call__(self, x, table: EdgeTable):
         return echo_ops.echo(x, table, self.n_bins, d_chunk=self.d_chunk)

@@ -47,7 +47,7 @@ def hist_dim(n_bins: int) -> int:
     return disk_map(n_bins)[1]
 
 
-def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 64):
+def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 32):
     """Compute ECHO descriptors.
 
     x: (N, C, 2) planar tangent features.
@@ -93,18 +93,22 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 64):
         xw = cmul(xs, wxp_c[:, :, None, :])
         xw = jnp.where(valid[..., None], xw, 0.0)
 
-        # Flat scatter into (N*C*dS, 2) (echo.py:139-148)
-        n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, DB, C), 0)
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, (N, DB, C), 2)
-        base = (n_ids * C + c_ids) * dS
-
-        hist = jnp.zeros((N * C * dS, 2), dtype=x.dtype)
-        for wgt, idx in ((w0, i0), (w1, i1), (w2, i2), (w3, i3)):
-            upd = xw * wgt[..., None]
-            hist = hist.at[(base + idx).reshape(-1)].add(
-                upd.reshape(-1, 2), mode="drop"
-            )
-        return hist
+        # Bin accumulation (echo.py:139-148).  XLA scatter on TPU serialises
+        # badly (25M updates ≈ seconds); instead reduce per static bin with
+        # masked sums over the slot axis — dS is small (21/38), so this is
+        # 4·dS fused mask+reduce passes, entirely on the VPU.
+        corners = ((w0, i0), (w1, i1), (w2, i2), (w3, i3))
+        vws = [xw * wgt[..., None] for wgt, _ in corners]
+        per_s = []
+        for s in range(dS):
+            acc = jnp.zeros((N, C, 2), dtype=x.dtype)
+            for vw, (_, idx) in zip(vws, corners):
+                m = (idx == s).astype(x.dtype)
+                acc = acc + jnp.einsum(
+                    "ndcp,ndc->ncp", vw, m, preferred_element_type=jnp.float32
+                )
+            per_s.append(acc)
+        return jnp.stack(per_s, axis=2).reshape(N * C * dS, 2)
 
     if d_chunk >= D:
         hist = chunk_hist(table.src, table.ln, table.wxp, table.mask)
