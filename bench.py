@@ -93,11 +93,13 @@ def main():
     bias = jnp.zeros((O,), jnp.float32)
 
     if impl == "banded":
+        precision = os.environ.get("BENCH_PRECISION", "f32")
         banded = build_banded_table(table_np, tb=128)
         banded = jax.device_put(banded)
 
         def fwd(x, zonal, sph, phase, bias):
-            y = field_conv_banded(x, banded, zonal, sph, phase, 1)
+            y = field_conv_banded(x, banded, zonal, sph, phase, 1,
+                                  precision=precision)
             return jnp.sum(soft_abs(modrelu(y, bias)))
     else:
         table = jax.device_put(table_np)

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...precomp.banded import BandedTable
 
 
-def _fwd_kernel(*refs, R, K, C, TB, NJ):
+def _fwd_kernel(*refs, R, K, C, TB, NJ, mxu_dtype=jnp.float32):
     g_refs = refs[:NJ]
     rsten_ref, fwxp_ref, out_ref = refs[NJ], refs[NJ + 1], refs[NJ + 2]
     C2 = 2 * C
@@ -42,9 +42,9 @@ def _fwd_kernel(*refs, R, K, C, TB, NJ):
             rs = rsten_ref[:, :, j * TB:(j + 1) * TB]          # (R, TB, TB)
             fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]        # (TB, TB)
             fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
-            s_re = (rs * fre[None]).reshape(R * TB, TB)
-            s_im = (rs * fim[None]).reshape(R * TB, TB)
-            gj = g_refs[j][:, k * C2:(k + 1) * C2]              # (TB, 2C)
+            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            gj = g_refs[j][:, k * C2:(k + 1) * C2].astype(mxu_dtype)
             acc_a += jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
             acc_b += jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
         o_re = acc_a[:, :C] - acc_b[:, C:]
@@ -53,17 +53,17 @@ def _fwd_kernel(*refs, R, K, C, TB, NJ):
         out_ref[:, (2 * k + 1) * C:(2 * k + 2) * C] = o_im
 
 
-def _bwd_kernel(*refs, R, K, C, TB, NJ):
+def _bwd_kernel(*refs, R, K, C, TB, NJ, mxu_dtype=jnp.float32):
     dout_ref, rsten_ref, fwxp_ref, part_ref = refs
     C2 = 2 * C
     for k in range(K):
-        d_both = dout_ref[:, k * C2:(k + 1) * C2]               # (R·TB, 2C)
+        d_both = dout_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)  # (R·TB, 2C)
         for j in range(NJ):
             rs = rsten_ref[:, :, j * TB:(j + 1) * TB]
             fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]
             fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
-            s_re = (rs * fre[None]).reshape(R * TB, TB)
-            s_im = (rs * fim[None]).reshape(R * TB, TB)
+            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
             contract_rows = (((0,), (0,)), ((), ()))
             p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
                                      preferred_element_type=jnp.float32)
@@ -79,13 +79,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _band_contrib(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _band_contrib(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
+                  precision):
     return _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh,
-                                  n_rings, k_width)
+                                  n_rings, k_width, precision)
 
 
-def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
+def _mxu_dtype(precision):
+    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+
+def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
+                           precision="f32"):
     N, M = g.shape               # M = K·2·C
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
@@ -103,7 +109,8 @@ def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
         for j in range(NJ)
     ]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
+        functools.partial(_fwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          mxu_dtype=_mxu_dtype(precision)),
         grid=(nb,),
         in_specs=g_specs + [
             pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
@@ -119,13 +126,14 @@ def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
     return out
 
 
-def _band_contrib_fwd(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
+def _band_contrib_fwd(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
+                      precision):
     out = _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh,
-                                 n_rings, k_width)
+                                 n_rings, k_width, precision)
     return out, (g, rsten_band, fwxp_band)
 
 
-def _band_contrib_bwd(tb, nh, n_rings, k_width, res, dout):
+def _band_contrib_bwd(tb, nh, n_rings, k_width, precision, res, dout):
     g, rsten_band, fwxp_band = res
     N, M = g.shape
     R, K, TB = n_rings, k_width, tb
@@ -134,7 +142,8 @@ def _band_contrib_bwd(tb, nh, n_rings, k_width, res, dout):
     nb = N // TB
 
     parts = pl.pallas_call(
-        functools.partial(_bwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
+        functools.partial(_bwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          mxu_dtype=_mxu_dtype(precision)),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((R * TB, M), lambda b: (b, 0),
@@ -169,16 +178,20 @@ def _band_contrib_bwd(tb, nh, n_rings, k_width, res, dout):
 _band_contrib.defvjp(_band_contrib_fwd, _band_contrib_bwd)
 
 
-def band_contrib(g, banded: BandedTable):
+def band_contrib(g, banded: BandedTable, precision: str = "f32"):
     """g: (N, K·2·C) planar rotated-source tensor (k-major, see
-    rotated_source_tensor_kmajor).  Returns contrib (N, R, C, K, 2)."""
+    rotated_source_tensor_kmajor).  Returns contrib (N, R, C, K, 2).
+
+    precision: "f32" (exact) or "bf16" (MXU operands cast to bfloat16 with
+    f32 accumulation — ~1.9x faster, ~1e-2 relative error).
+    """
     N, M = g.shape
     R, K, TB = banded.n_rings, banded.k_width, banded.tb
     C = M // (2 * K)
     nb = N // TB
     out = _band_contrib(
         g, banded.rsten_band, banded.fwxp_band,
-        banded.tb, banded.nh, banded.n_rings, banded.k_width,
+        banded.tb, banded.nh, banded.n_rings, banded.k_width, precision,
     )
     # (nb·R·TB, K·2·C) -> (N, R, C, K, 2)
     out = out.reshape(nb, R, TB, K, 2, C)
@@ -195,12 +208,13 @@ def rotated_source_tensor_kmajor(x, band_limit):
     return jnp.transpose(G, (0, 2, 3, 1)).reshape(N, K * 2 * C)
 
 
-def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype):
+def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype,
+                      precision: str = "f32"):
     """Full field convolution over the banded layout: (N, C, 2) -> (N, O, 2)."""
     from ..field_conv import apply_filters, filter_coefficients
 
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
-    contrib = band_contrib(g, banded)
+    contrib = band_contrib(g, banded, precision)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)
     return apply_filters(contrib, coeff)

@@ -132,3 +132,19 @@ def test_reorder_preserves_convolution(rng):
     new_edges, w2, x2 = reorder_precompute(perm, g["edges"], g["w"], x)
     y1 = run(new_edges, g["log_mag"], g["log_ang"], w2, g["xp"], x2)
     np.testing.assert_allclose(y1, y0[perm], atol=2e-5)
+
+
+def test_band_contrib_bf16(rng):
+    g = banded_graph(rng)
+    table, banded = tables_for(g)
+    N, C = table.n_pad, 4
+    x = jnp.asarray(
+        np.stack([rng.normal(size=(N, C)), rng.normal(size=(N, C))], -1),
+        jnp.float32,
+    )
+    gk = rotated_source_tensor_kmajor(x, g["B"])
+    ref = band_contrib(gk, banded, "f32")
+    got = band_contrib(gk, banded, "bf16")
+    denom = float(jnp.linalg.norm(ref)) + 1e-9
+    rel = float(jnp.linalg.norm(got - ref)) / denom
+    assert rel < 0.02, rel
