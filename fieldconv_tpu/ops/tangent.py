@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.complexops import modrelu  # re-export for the nn layer
+from ..utils.complexops import modrelu  # noqa: F401  (re-export)
 from .field_conv import cmatmul
 
 __all__ = ["tangent_lin", "modrelu"]

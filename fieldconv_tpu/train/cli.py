@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import os
 
 import numpy as np
 
@@ -22,7 +21,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", required=True,
                    choices=["classification", "segmentation",
-                            "correspondence", "synthetic"])
+                            "correspondence", "matching", "synthetic"])
     p.add_argument("--root", default=None, help="dataset root directory")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1)
@@ -44,7 +43,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     from .config import PRESETS, ExperimentConfig
-    from .loop import fit
+    from .loop import fit, fit_matching
 
     if args.task == "synthetic":
         config = ExperimentConfig(task="classification", band_limit=2,
@@ -65,6 +64,8 @@ def main(argv=None):
             config = dataclasses.replace(config, **overrides)
         if not args.root:
             raise SystemExit("--root required for dataset tasks")
+        if args.task == "matching":
+            return run_matching(args, config)
         train_recs, test_recs, n_classes = load_dataset(args.task, args.root,
                                                         config)
 
@@ -76,6 +77,38 @@ def main(argv=None):
     if metric is not None:
         print(f"final eval metric: {metric:.4f}")
     return metric
+
+
+def run_matching(args, config):
+    from ..data import SHREC19
+    from ..data.shrec19 import null_pairs
+    from .loop import fit_matching, make_batches
+    from . import evaluate as _eval
+
+    ds = {w: SHREC19(args.root, which=w, n_samples=config.sample_n,
+                     epsilon=config.epsilon) for w in range(4)}
+    src = ds[0].records()
+    tgt = ds[1].records()
+    pps = [ds[1].pos_pairs(i) for i in range(len(ds[1]))]
+    net, state = fit_matching(
+        config, src, tgt, pps, banded_tb=args.banded_tb,
+        log_path=args.log, seed=args.seed,
+    )
+    # evaluation over the test pairs with the full null complement
+    from ..data.base import shared_bucket
+    te_s, te_t = ds[2].records(), ds[3].records()
+    n_pad, d_slots = shared_bucket(src + tgt + te_s + te_t)
+    pair_batches = []
+    for i in range(len(te_s)):
+        bs = make_batches([te_s[i]], config, 1, args.banded_tb, n_pad, d_slots)[0]
+        bt = make_batches([te_t[i]], config, 1, args.banded_tb, n_pad, d_slots)[0]
+        pp = ds[3].pos_pairs(i)
+        nulls = null_pairs(pp, te_t[i].n_samples)
+        pair_batches.append((bs, bt, pp, nulls))
+    fp, fn = _eval.matching_rates(net, state.params, pair_batches,
+                                  mu=config.twin_mu)
+    print(f"Test split: FP: {fp:.4f}, FN: {fn:.4f}, Err: {fp+fn:.4f}")
+    return fp + fn
 
 
 def load_dataset(task, root, config):

@@ -2,12 +2,11 @@
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..nn import losses
-from .trainer import MeshBatch, batched_apply
+from .trainer import batched_apply
 
 
 def classification_accuracy(net, params, batches) -> float:

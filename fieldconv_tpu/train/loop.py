@@ -7,14 +7,13 @@ metrics, checkpoints, and evaluates with the task's reference metric.
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.base import FieldConvDataset, MeshRecord, shared_bucket
+from ..data.base import MeshRecord, shared_bucket
 from ..models import (
     ClassificationNet,
     CorrespondenceNet,
@@ -26,7 +25,6 @@ from .checkpoint import CheckpointManager
 from .config import ExperimentConfig
 from .metrics import MetricsLogger
 from .trainer import (
-    MeshBatch,
     TrainState,
     make_optimizer,
     make_train_step,
@@ -123,8 +121,16 @@ def fit(
             if step >= total_steps:
                 break
             key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, sub, train_batches[bi])
-            logger.log({"loss": metrics["loss"]}, edges=edges_per_batch)
+            new_state, metrics = step_fn(state, sub, train_batches[bi])
+            loss_val = float(np.asarray(metrics["loss"]))
+            if not np.isfinite(loss_val):
+                # failure detection (SURVEY.md §5.3): skip the poisoned
+                # update, keep the previous state
+                print(f"WARNING: non-finite loss at step {step}; "
+                      "skipping update", flush=True)
+            else:
+                state = new_state
+            logger.log({"loss": loss_val}, edges=edges_per_batch)
             step += 1
             if ckpt and config.checkpoint_every and \
                     step % (config.checkpoint_every * steps_per_epoch) == 0:
@@ -142,6 +148,68 @@ def fit(
     )
     logger.close()
     return net, state, final
+
+
+def fit_matching(
+    config: ExperimentConfig,
+    source_records,
+    target_records,
+    pos_pairs_list,
+    batch_size: int = 1,
+    banded_tb: Optional[int] = None,
+    log_path: Optional[str] = None,
+    seed: int = 0,
+):
+    """Siamese training (feature_matching.ipynb cells 12-13): per step draw
+    n_pairs positive and n_pairs null correspondences per mesh pair."""
+    from ..data.shrec19 import sample_null_pairs
+    from .trainer import make_twin_train_step
+
+    net = build_model(config, n_classes=0)
+    all_records = source_records + target_records
+    n_pad, d_slots = shared_bucket(all_records)
+
+    def to_batch(rec):
+        table = rec.table(config.band_limit, config.n_rings,
+                          n_pad=n_pad, d_slots=d_slots)
+        return stack_batch(
+            [(rec.padded_pos(n_pad), table, rec.padded_labels(n_pad))],
+            banded_tb=banded_tb,
+        )
+
+    batches_s = [to_batch(r) for r in source_records]
+    batches_t = [to_batch(r) for r in target_records]
+
+    opt = make_optimizer(config, len(batches_s))
+    b0 = batches_s[0]
+    params = jax.jit(net.init)(jax.random.key(seed), b0.pos[0],
+                               jax.tree.map(lambda x: x[0], b0.table))
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_twin_train_step(net, config, opt)
+    logger = MetricsLogger(log_path)
+    key = jax.random.key(seed + 1)
+    order_rng = np.random.default_rng(seed + 2)
+    np_rng = np.random.default_rng(seed + 3)
+
+    n_pairs = config.n_pairs
+    for epoch in range(config.epochs):
+        for i in order_rng.permutation(len(batches_s)):
+            pp_all = pos_pairs_list[i]
+            sel = np_rng.permutation(len(pp_all))[:n_pairs]
+            pp = pp_all[sel]
+            if len(pp) < n_pairs:   # pad by repetition to keep shapes static
+                reps = np.resize(np.arange(len(pp)), n_pairs)
+                pp = pp[reps]
+            n_samples = source_records[i].n_samples
+            nulls = sample_null_pairs(np_rng, pp_all, n_samples, n_pairs)
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(
+                state, sub, batches_s[i], batches_t[i],
+                jnp.asarray(pp)[None], jnp.asarray(nulls)[None],
+            )
+            logger.log({"loss": metrics["loss"]})
+    logger.close()
+    return net, state
 
 
 def evaluate_task(net, params, config, test_batches, n_classes):

@@ -5,7 +5,6 @@ throughput counter that is this framework's headline metric."""
 from __future__ import annotations
 
 import json
-import os
 import time
 from collections import deque
 from typing import Optional

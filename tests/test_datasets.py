@@ -155,3 +155,34 @@ def test_null_pairs():
     assert samp.shape == (5, 2)
     for t, s in samp:
         assert (t, s) not in {(0, 1), (2, 3)}
+
+
+def test_fit_matching_synthetic():
+    """Siamese matching loop runs end-to-end on synthetic sphere pairs."""
+    import dataclasses
+
+    from fieldconv_tpu.data.base import process_mesh
+    from fieldconv_tpu.train.config import MATCHING
+    from fieldconv_tpu.train.loop import fit_matching
+
+    rng = np.random.default_rng(0)
+    src_recs, tgt_recs, pps = [], [], []
+    for k in range(2):
+        v, f = icosphere(subdiv=1)
+        v1 = v + rng.normal(scale=0.01, size=v.shape)
+        v2 = v + rng.normal(scale=0.01, size=v.shape)
+        src_recs.append(process_mesh(v1, f, 0.4, None, f"s{k}", np.int64(0)))
+        tgt_recs.append(process_mesh(v2, f, 0.4, None, f"t{k}", np.int64(0)))
+        n = src_recs[-1].n_samples
+        # ground-truth: same (original) vertex; remap through both RCM perms
+        inv_s = np.empty(n, np.int64); inv_s[src_recs[-1].rcm_perm] = np.arange(n)
+        inv_t = np.empty(n, np.int64); inv_t[tgt_recs[-1].rcm_perm] = np.arange(n)
+        pps.append(np.stack([inv_t, inv_s], axis=1))
+
+    config = dataclasses.replace(
+        MATCHING, epochs=2, n_pairs=16, nf=4, n_rings=4, band_limit=1
+    )
+    net, state = fit_matching(config, src_recs, tgt_recs, pps)
+    leaves = [np.asarray(l) for l in
+              __import__("jax").tree_util.tree_leaves(state.params)]
+    assert all(np.all(np.isfinite(l)) for l in leaves)

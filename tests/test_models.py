@@ -141,3 +141,36 @@ def test_label_smoothing_matches_manual(rng):
     td[np.arange(6), np.asarray(labels)] = 0.8
     want = float(np.mean(np.sum(-td * lp, axis=1)))
     assert abs(got - want) < 1e-6
+
+
+def test_weight_porting_roundtrip(rng):
+    """flax -> torch-style dict -> flax is identity, incl. the (1,C) bias
+    shape adaptation."""
+    from fieldconv_tpu.utils.port_weights import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    g = random_graph(rng, n_vertices=20, avg_deg=4)
+    table = make_table(g)
+    pos = make_pos(rng, table)
+    net = ClassificationNet(n_classes=4, nf=6, band_limit=g["B"], n_rings=g["R"])
+    params = net.init(jax.random.key(0), pos, table)
+
+    sd = flax_to_torch_state_dict(params)
+    assert "lift.field.zonalAng" in sd
+    assert "resnet1.conv1.zonal" in sd
+    assert "resnet2.res.Re" in sd
+    # simulate the reference's (1, C) nonlin bias layout
+    sd2 = {k: (v.reshape(1, -1) if k.endswith("nonlin.bias") or
+               k.endswith("nonlin1.bias") or k.endswith("nonlin2.bias")
+               else v) for k, v in sd.items()}
+    restored = torch_state_dict_to_flax(sd2, params)
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    y1 = net.apply(params, pos, table)
+    y2 = net.apply(restored, pos, table)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
