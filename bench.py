@@ -32,8 +32,32 @@ def build_synthetic_tables(N=8192, D=128, B=2, R=6, seed=0, bandwidth=128):
     rng = np.random.default_rng(seed)
     K = 2 * B + 1
     base = np.arange(N)[:, None]
-    offs = rng.integers(-bandwidth, bandwidth, size=(N, D))
+    # unique neighbors per target (parallel edges are unrepresentable in the
+    # factored band layout — see precomp/banded.py)
+    if 2 * bandwidth < D:
+        raise ValueError("need 2*bandwidth >= D for unique neighbors")
+    cand = np.arange(-bandwidth, bandwidth)
+    offs = np.stack([
+        rng.choice(cand, size=D, replace=False) for _ in range(N)
+    ])
     src = np.clip(base + offs, 0, N - 1).astype(np.int32)
+    # clipping at the ends can re-introduce duplicates; remap those slots to
+    # unused in-range values
+    for i in list(range(bandwidth + 1)) + list(range(N - bandwidth - 1, N)):
+        row = src[i]
+        used = set(row.tolist())
+        dup = np.zeros(D, bool)
+        seen = set()
+        for d in range(D):
+            if row[d] in seen:
+                dup[d] = True
+            seen.add(row[d])
+        if dup.any():
+            free = [v for v in range(max(0, i - bandwidth),
+                                     min(N, i + bandwidth + 1))
+                    if v not in used]
+            row[dup] = free[: dup.sum()]
+            src[i] = row
 
     r = rng.uniform(0.02, 1.0, (N, D))
     theta = rng.uniform(-np.pi, np.pi, (N, D))
@@ -94,12 +118,13 @@ def main():
 
     if impl == "banded":
         precision = os.environ.get("BENCH_PRECISION", "f32")
+        fuse = os.environ.get("BENCH_FUSE", "1") != "0"
         banded = build_banded_table(table_np, tb=128)
         banded = jax.device_put(banded)
 
         def fwd(x, zonal, sph, phase, bias):
             y = field_conv_banded(x, banded, zonal, sph, phase, 1,
-                                  precision=precision)
+                                  precision=precision, fuse_filters=fuse)
             return jnp.sum(soft_abs(modrelu(y, bias)))
     else:
         table = jax.device_put(table_np)

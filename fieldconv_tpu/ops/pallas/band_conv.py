@@ -79,6 +79,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _compiler_params():
+    """Raise the per-kernel VMEM budget: the fused kernels' unrolled K x NJ
+    bodies plus double-buffered stencil blocks exceed the conservative 16MB
+    default scoped limit; v5e cores have far more physical VMEM."""
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _band_contrib(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
                   precision):
@@ -122,6 +131,7 @@ def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * R * TB, M), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*([g] * NJ), rsten_band, fwxp_band)
     return out
 
@@ -157,6 +167,7 @@ def _band_contrib_bwd(tb, nh, n_rings, k_width, precision, res, dout):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(dout, rsten_band, fwxp_band)
 
     # combine shifted partials: contribution of (block b, sub-window j)
@@ -198,6 +209,232 @@ def band_contrib(g, banded: BandedTable, precision: str = "f32"):
     return jnp.transpose(out, (0, 2, 1, 5, 3, 4)).reshape(N, R, C, K, 2)
 
 
+# --- fused kernel: filter contraction folded into the band contraction ----
+#
+# The unfused path writes contrib (N, R·K·2C) to HBM (~8x the size of the
+# output), re-reads and transposes it, then contracts with the filters in
+# XLA.  The fused kernel keeps the per-block contrib in VMEM scratch and
+# applies the per-ring filter matrices W (R, K·2C, 2O) on-chip, emitting
+# only y (N, 2O).  Backward rematerialises contrib from g (FLOPs are far
+# cheaper than the HBM round-trip) and accumulates dW across grid steps in
+# a revisited output block.
+
+
+def filters_to_wmat(coeff):
+    """Pack the planar filter bank (O, C, R, K, 2) into per-ring real
+    matrices W (R, K·2C, 2O) such that
+
+        [y_re | y_im][t] = (1/K) Σ_r contrib_block_r[t] @ W[r]
+
+    with contrib columns laid out k-major as [re C | im C] per k (the
+    kernel's native layout) and output columns [o_re O | o_im O]."""
+    O, C, R, K, _ = coeff.shape
+    wre = jnp.transpose(coeff[..., 0], (2, 3, 1, 0))      # (R, K, C, O)
+    wim = jnp.transpose(coeff[..., 1], (2, 3, 1, 0))
+    top = jnp.concatenate([wre, wim], axis=-1)             # rows p=0 (re)
+    bot = jnp.concatenate([-wim, wre], axis=-1)            # rows p=1 (im)
+    w = jnp.stack([top, bot], axis=2)                      # (R, K, 2, C, 2O)
+    return (w / K).reshape(R, K * 2 * C, 2 * O)
+
+
+def _contrib_to_scratch(g_refs, rsten_ref, fwxp_ref, scratch, *, R, K, C, TB,
+                        NJ, mxu_dtype):
+    """Shared fwd contraction: write the block's contrib into VMEM scratch."""
+    C2 = 2 * C
+    for k in range(K):
+        acc_a = jnp.zeros((R * TB, C2), jnp.float32)
+        acc_b = jnp.zeros((R * TB, C2), jnp.float32)
+        for j in range(NJ):
+            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]
+            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]
+            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
+            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            gj = g_refs[j][:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            acc_a += jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            acc_b += jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        scratch[:, (2 * k) * C:(2 * k + 1) * C] = acc_a[:, :C] - acc_b[:, C:]
+        scratch[:, (2 * k + 1) * C:(2 * k + 2) * C] = acc_a[:, C:] + acc_b[:, :C]
+
+
+def _fwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
+    g_refs = refs[:NJ]
+    rsten_ref, fwxp_ref, w_ref, out_ref, scratch = refs[NJ:NJ + 5]
+    _contrib_to_scratch(g_refs, rsten_ref, fwxp_ref, scratch,
+                        R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+    y = jnp.zeros((TB, O2), jnp.float32)
+    for r in range(R):
+        cr = scratch[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+        y += jnp.dot(cr, w_ref[r].astype(mxu_dtype),
+                     preferred_element_type=jnp.float32)
+    out_ref[:] = y
+
+
+def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
+    dy_ref = refs[0]
+    g_refs = refs[1:1 + NJ]
+    rsten_ref, fwxp_ref, w_ref = refs[1 + NJ:4 + NJ]
+    part_ref, dw_ref = refs[4 + NJ:6 + NJ]
+    contrib, dcontrib = refs[6 + NJ:8 + NJ]
+    C2 = 2 * C
+
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    # rematerialise the block's contrib for the dW product
+    _contrib_to_scratch(g_refs, rsten_ref, fwxp_ref, contrib,
+                        R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+
+    dy = dy_ref[:].astype(mxu_dtype)                       # (TB, O2)
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+    for r in range(R):
+        cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+        dw_ref[r] += jax.lax.dot_general(
+            cr, dy, contract_rows, preferred_element_type=jnp.float32)
+        dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+            dy, w_ref[r].astype(mxu_dtype), contract_cols,
+            preferred_element_type=jnp.float32)
+
+    # transposed band contraction: dcontrib -> per-(block, shift) dG partials
+    for k in range(K):
+        d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        for j in range(NJ):
+            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]
+            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]
+            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
+            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            part_ref[j * TB:(j + 1) * TB, (2 * k) * C:(2 * k + 1) * C] = \
+                p1[:, :C] + p2[:, C:]
+            part_ref[j * TB:(j + 1) * TB, (2 * k + 1) * C:(2 * k + 2) * C] = \
+                p1[:, C:] - p2[:, :C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _band_fused(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
+                precision):
+    return _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh,
+                                n_rings, k_width, precision)
+
+
+def _g_specs(nb, nh, TB, M):
+    return [
+        pl.BlockSpec(
+            (TB, M),
+            functools.partial(
+                lambda b, jj: (jnp.clip(b - nh + jj, 0, nb - 1), 0), jj=j
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(2 * nh + 1)
+    ]
+
+
+def _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
+                         k_width, precision):
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    return pl.pallas_call(
+        functools.partial(_fwd_fused_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, mxu_dtype=_mxu_dtype(precision)),
+        grid=(nb,),
+        in_specs=_g_specs(nb, nh, TB, M) + [
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, O2), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*([g] * (2 * nh + 1)), rsten_band, fwxp_band, wmat)
+
+
+def _band_fused_fwd(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
+                    precision):
+    y = _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh,
+                             n_rings, k_width, precision)
+    return y, (g, wmat, rsten_band, fwxp_band)
+
+
+def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
+    g, wmat, rsten_band, fwxp_band = res
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    parts, dw = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, mxu_dtype=_mxu_dtype(precision)),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TB, O2), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _g_specs(nb, nh, TB, M) + [
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            # revisited accumulator: every grid step maps to the same block
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(dy, *([g] * NJ), rsten_band, fwxp_band, wmat)
+
+    parts = parts.reshape(nb, NJ, TB, M)
+    dg = jnp.zeros((nb, TB, M), jnp.float32)
+    for j in range(NJ):
+        d = j - nh
+        if d == 0:
+            dg = dg + parts[:, j]
+        elif d > 0:
+            dg = dg.at[d:].add(parts[:-d, j])
+        else:
+            dg = dg.at[:d].add(parts[-d:, j])
+    return (dg.reshape(N, M), dw,
+            jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band))
+
+
+_band_fused.defvjp(_band_fused_fwd, _band_fused_bwd)
+
+
 def rotated_source_tensor_kmajor(x, band_limit):
     """G[n, (k, p, c)] = x[n,c]·e^{-i k φ_{n,c}} flattened k-major for the
     kernel's contiguous per-k column panels. x: (N, C, 2)."""
@@ -209,12 +446,24 @@ def rotated_source_tensor_kmajor(x, band_limit):
 
 
 def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype,
-                      precision: str = "f32"):
-    """Full field convolution over the banded layout: (N, C, 2) -> (N, O, 2)."""
+                      precision: str = "f32", fuse_filters: bool = True):
+    """Full field convolution over the banded layout: (N, C, 2) -> (N, O, 2).
+
+    fuse_filters=True (default) applies the filter contraction inside the
+    kernel — the contrib tensor never touches HBM.  The unfused path is
+    kept for A/B benchmarking (BENCH_FUSE=0)."""
     from ..field_conv import apply_filters, filter_coefficients
 
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
-    contrib = band_contrib(g, banded, precision)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)
+    if fuse_filters:
+        wmat = filters_to_wmat(coeff)
+        y2 = _band_fused(
+            g, wmat, banded.rsten_band, banded.fwxp_band,
+            banded.tb, banded.nh, banded.n_rings, banded.k_width, precision,
+        )
+        O = wmat.shape[-1] // 2
+        return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
+    contrib = band_contrib(g, banded, precision)
     return apply_filters(contrib, coeff)

@@ -25,7 +25,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..precomp.banded import BandedTable
-from ..ops.pallas.band_conv import _bwd_kernel, _fwd_kernel, _interpret
+from ..ops.pallas.band_conv import (
+    _bwd_fused_kernel,
+    _bwd_kernel,
+    _compiler_params,
+    _fwd_fused_kernel,
+    _fwd_kernel,
+    _interpret,
+    filters_to_wmat,
+)
 
 
 def _halo_fwd_impl(g_ext, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
@@ -63,6 +71,7 @@ def _halo_fwd_impl(g_ext, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * R * TB, M), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*([g_ext] * NJ), rsten_band, fwxp_band)
 
 
@@ -89,6 +98,7 @@ def _halo_bwd_impl(dout, rsten_band, fwxp_band, tb, nh, n_rings, k_width, M):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(dout, rsten_band, fwxp_band)
 
     # combine: contribution of (local block b, sub-window j) belongs to
@@ -163,6 +173,141 @@ def _halo_bwd(tb, nh, n_rings, k_width, axis_name, res, dout):
 
 
 halo_band_contrib.defvjp(_halo_fwd, _halo_bwd)
+
+
+# --- fused variant: filter contraction inside the kernel -------------------
+
+def _halo_g_specs(NJ, TB, M):
+    return [
+        pl.BlockSpec(
+            (TB, M),
+            functools.partial(lambda b, jj: (b + jj, 0), jj=j),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(NJ)
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def halo_band_fused(g_local, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
+                    k_width, axis_name):
+    """Sharded fused field conv: returns local y (N_local, 2O).  wmat must be
+    replicated across the graph axis; its cotangent is the per-device partial
+    (shard_map's transpose of the broadcast psums it)."""
+    y, _ = _halo_fused_fwd(g_local, wmat, rsten_band, fwxp_band, tb, nh,
+                           n_rings, k_width, axis_name)
+    return y
+
+
+def _halo_fused_fwd(g_local, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
+                    k_width, axis_name):
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    N_local, M = g_local.shape
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N_local // TB
+    hw = nh * tb
+
+    left, right = _exchange_halos(g_local, hw, axis_name)
+    g_ext = jnp.concatenate([left, g_local, right], axis=0)
+    y = pl.pallas_call(
+        functools.partial(_fwd_fused_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2),
+        grid=(nb,),
+        in_specs=_halo_g_specs(NJ, TB, M) + [
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, O2), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_local, O2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*([g_ext] * NJ), rsten_band, fwxp_band, wmat)
+    return y, (g_local, wmat, rsten_band, fwxp_band)
+
+
+def _halo_fused_bwd(tb, nh, n_rings, k_width, axis_name, res, dy):
+    g_local, wmat, rsten_band, fwxp_band = res
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    N_local, M = g_local.shape
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N_local // TB
+    hw = nh * tb
+
+    # re-exchange halos (cheaper than saving g_ext as a residual)
+    left, right = _exchange_halos(g_local, hw, axis_name)
+    g_ext = jnp.concatenate([left, g_local, right], axis=0)
+
+    parts, dw = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TB, O2), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _halo_g_specs(NJ, TB, M) + [
+            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(dy, *([g_ext] * NJ), rsten_band, fwxp_band, wmat)
+
+    parts = parts.reshape(nb, NJ, TB, M)
+    dg_ext = jnp.zeros((nb + 2 * nh, TB, M), jnp.float32)
+    for j in range(NJ):
+        dg_ext = dg_ext.at[j:j + nb].add(parts[:, j])
+    dg = _return_halos(dg_ext.reshape((nb + 2 * nh) * TB, M), hw, axis_name)
+    return dg, dw, jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band)
+
+
+halo_band_fused.defvjp(_halo_fused_fwd, _halo_fused_bwd)
+
+
+def halo_field_conv(g_local, banded_local: BandedTable, zonal, spherical,
+                    phase, ftype, axis_name: str):
+    """Sharded fused field convolution: g_local (N_local, K·2C) -> local
+    y (N_local, O, 2).  Filter params are replicated; their gradients are
+    reduced by shard_map's broadcast transpose."""
+    from ..ops.field_conv import filter_coefficients
+
+    coeff = filter_coefficients(zonal, spherical, phase, ftype,
+                                banded_local.band_limit)
+    wmat = filters_to_wmat(coeff)
+    y2 = halo_band_fused(
+        g_local, wmat, banded_local.rsten_band, banded_local.fwxp_band,
+        banded_local.tb, banded_local.nh, banded_local.n_rings,
+        banded_local.k_width, axis_name,
+    )
+    O = y2.shape[-1] // 2
+    return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
 
 
 def halo_contrib(g_local, banded_local: BandedTable, axis_name: str):

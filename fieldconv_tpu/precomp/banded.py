@@ -109,6 +109,17 @@ def build_banded_table(
     wp = j * tb + (s % tb)
     assert (wp >= 0).all() and (wp < Wp).all()
 
+    # The band layout stores the factored stencil (rsten ⊗ fwxp) per
+    # (target, source) slot; parallel edges with different factors cannot be
+    # merged into one slot exactly, so reject them.  Support graphs built by
+    # radius_graph never contain parallel edges.
+    flat = tgt_idx * np.int64(Wp) + wp
+    if len(np.unique(flat)) != len(flat):
+        raise ValueError(
+            "parallel edges (duplicate (target, source) pairs) cannot be "
+            "represented in the factored band layout; deduplicate the "
+            "support graph first"
+        )
     rb = np.zeros((R, N, Wp), dtype=np.float32)
     fb = np.zeros((K, 2, N, Wp), dtype=np.float32)
     rb[:, tgt_idx, wp] = rsten[tgt_idx, slot_idx].T

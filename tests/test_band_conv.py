@@ -134,6 +134,38 @@ def test_reorder_preserves_convolution(rng):
     np.testing.assert_allclose(y1, y0[perm], atol=2e-5)
 
 
+def test_fused_matches_unfused_all_params(rng):
+    """Fused in-kernel filter contraction == unfused path, values and grads
+    wrt every differentiable input (x, zonal, spherical, phase)."""
+    g = banded_graph(rng)
+    table, banded = tables_for(g)
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(
+        np.stack([rng.normal(size=(N, C)), rng.normal(size=(N, C))], -1),
+        jnp.float32,
+    )
+    zr = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    def loss(fuse):
+        def f(x, zr, sph, ph):
+            y = field_conv_banded(x, banded, zr, sph, ph, 1,
+                                  fuse_filters=fuse)
+            return jnp.sum(y ** 2 + y)
+        return f
+
+    yf = field_conv_banded(x, banded, zr, sph, ph, 1, fuse_filters=True)
+    yu = field_conv_banded(x, banded, zr, sph, ph, 1, fuse_filters=False)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yu), atol=2e-5)
+
+    gf = jax.grad(loss(True), argnums=(0, 1, 2, 3))(x, zr, sph, ph)
+    gu = jax.grad(loss(False), argnums=(0, 1, 2, 3))(x, zr, sph, ph)
+    for a, b in zip(gf, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
+
+
 def test_band_contrib_bf16(rng):
     g = banded_graph(rng)
     table, banded = tables_for(g)

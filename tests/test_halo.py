@@ -11,7 +11,8 @@ from fieldconv_tpu.ops.pallas.band_conv import (
     band_contrib,
     rotated_source_tensor_kmajor,
 )
-from fieldconv_tpu.parallel.halo import halo_contrib
+from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
+from fieldconv_tpu.parallel.halo import halo_contrib, halo_field_conv
 from fieldconv_tpu.precomp.banded import BandedTable
 
 
@@ -99,3 +100,55 @@ def test_halo_gradients_match(rng):
     np.testing.assert_allclose(
         np.asarray(grad_sharded), np.asarray(grad_ref), atol=5e-4, rtol=1e-3
     )
+
+
+def test_halo_fused_conv_matches_single_device(rng):
+    """Fused sharded full conv (values + grads wrt x and all filter params)
+    == single-device fused path."""
+    n_dev = 4
+    g = banded_graph(rng, n_vertices=128, tb=8, bw=7)
+    table, banded = tables_for(g, tb=8)
+    N, C, O, B, R = table.n_pad, 3, 5, g["B"], g["R"]
+    x = jnp.asarray(rng.normal(size=(N, C, 2)), jnp.float32)
+    zr = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    def ref_loss(x, zr, sph, ph):
+        y = field_conv_banded(x, banded, zr, sph, ph, 1, fuse_filters=True)
+        return jnp.sum(y ** 2 + y)
+
+    want_y = field_conv_banded(x, banded, zr, sph, ph, 1, fuse_filters=True)
+    want_g = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(x, zr, sph, ph)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
+
+    def sharded_fn(x, zr, sph, ph, rsten, fwxp):
+        local = BandedTable(
+            rsten_band=rsten, fwxp_band=fwxp, tb=banded.tb, nh=banded.nh,
+            n_pad=x.shape[0], band_limit=banded.band_limit,
+            n_rings=banded.n_rings,
+        )
+        gk = rotated_source_tensor_kmajor(x, banded.band_limit)
+        return halo_field_conv(gk, local, zr, sph, ph, 1, "graph")
+
+    smap = jax.shard_map(
+        sharded_fn, mesh=mesh,
+        in_specs=(P("graph"), P(), P(), P(), P(None, "graph"),
+                  P(None, None, "graph")),
+        out_specs=P("graph"),
+        check_vma=False,
+    )
+    got_y = jax.jit(smap)(x, zr, sph, ph, banded.rsten_band, banded.fwxp_band)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               atol=2e-5)
+
+    def sharded_loss(x, zr, sph, ph):
+        y = smap(x, zr, sph, ph, banded.rsten_band, banded.fwxp_band)
+        return jnp.sum(y ** 2 + y)
+
+    got_g = jax.jit(jax.grad(sharded_loss, argnums=(0, 1, 2, 3)))(
+        x, zr, sph, ph)
+    for a, b in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
