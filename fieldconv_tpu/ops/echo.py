@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..precomp.edge_table import EdgeTable
-from ..utils.complexops import cmul, cconj, cexpi, is_origin, soft_abs, soft_angle
+from ..utils.complexops import cmul, cconj, is_origin, soft_abs, soft_unit
 
 
 def disk_map(n_bins: int):
@@ -60,9 +60,11 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 32):
     dmap_np, dS = disk_map(nb)
     dmap = jnp.asarray(dmap_np)
 
-    # Per-source unit feature direction e^{iφ} and origin mask (echo.py:123,130)
-    phi = soft_angle(x)                     # (N, C)
-    unit_conj = cconj(cexpi(phi))           # (N, C, 2)
+    # Per-source unit feature direction e^{iφ} and origin mask (echo.py:123,130).
+    # soft_unit is the transcendental-free e^{iφ} (= x/|x|); it returns 0 at
+    # origin entries where cexpi(softAngle)=1, but those votes are zeroed by
+    # the `valid` mask below, so the difference is unobservable.
+    unit_conj = cconj(soft_unit(x))         # (N, C, 2)
     nonzero = jnp.logical_not(is_origin(x)) # (N, C)
 
     def chunk_hist(src_c, ln_c, wxp_c, mask_c):

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...precomp.banded import BandedTable
+from ...precomp.banded import BandedTable, CompressedBandedTable
 
 
 def _fwd_kernel(*refs, R, K, C, TB, NJ, mxu_dtype=jnp.float32):
@@ -435,6 +435,255 @@ def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
 _band_fused.defvjp(_band_fused_fwd, _band_fused_bwd)
 
 
+# --- compressed-stencil fused kernel ---------------------------------------
+#
+# The fused kernel is ~90% memory-bound (probe: load-only ≈ full kernel
+# time), so the next lever is shipping fewer stencil bytes: instead of
+# R + 2K dense planes per slot (rsten + fwxp), ship 5 planes (r, e^{iθ},
+# wxp) and reconstruct in VMEM — radial hats are piecewise-linear on the
+# sqrt-spaced knots (precomp/stencil.radial_interpolant), angular factors
+# are phasor powers.  ~3x less stencil traffic for ~2% more VPU work.
+
+
+def _ring_knots(R):
+    import math
+
+    s = [math.sqrt(r / (R - 1)) for r in range(R)]
+    return s
+
+
+def _hats_from_r(rv, R):
+    """Radial interpolation weights from normalised radius.
+
+    rv: (TB, TB) in [0,1] (R_SENTINEL at empty slots).  Returns (R, TB, TB)
+    matching stencil.radial_interpolant exactly on [0,1]: ring r's weight is
+    the hat on knots (s_{r-1}, s_r, s_{r+1}) with virtual knots -1 and 2 at
+    the ends (so rv=0 → ring0=1, rv=1 → ring_{R-1}=1, sentinel → all 0).
+    """
+    s = _ring_knots(R)
+    hats = []
+    for r in range(R):
+        sl = s[r - 1] if r > 0 else -1.0
+        sc = s[r]
+        sr = s[r + 1] if r < R - 1 else 2.0
+        up = (rv - sl) * (1.0 / (sc - sl))
+        dn = (sr - rv) * (1.0 / (sr - sc))
+        hats.append(jnp.clip(jnp.minimum(up, dn), 0.0, 1.0))
+    return jnp.stack(hats, axis=0)
+
+
+def _phasor_pairs(fr, fi, pr, pi, B):
+    """Yield (column k+B, f_re, f_im) for f_k = wxp·e^{ikθ}, k=-B..B,
+    built by repeated multiplication with the unit phasor (pr, pi)."""
+    out = [(B, fr, fi)]
+    cp = (fr, fi)
+    cm = (fr, fi)
+    for kk in range(1, B + 1):
+        cp = (cp[0] * pr - cp[1] * pi, cp[0] * pi + cp[1] * pr)
+        cm = (cm[0] * pr + cm[1] * pi, cm[1] * pr - cm[0] * pi)
+        out.append((B + kk, cp[0], cp[1]))
+        out.append((B - kk, cm[0], cm[1]))
+    return out
+
+
+def _cfused_accum_contrib(g_refs, r_ref, ph_ref, wxp_ref, contrib, *, R, B, C,
+                          TB, NJ, mxu_dtype):
+    """contrib[:] = the block's (R·TB, K·2C) contribution tensor, rebuilt
+    from the compressed planes."""
+    C2 = 2 * C
+    contrib[:] = jnp.zeros_like(contrib)
+    for j in range(NJ):
+        sl = slice(j * TB, (j + 1) * TB)
+        hats = _hats_from_r(r_ref[:, sl], R)                   # (R, TB, TB)
+        pr, pi = ph_ref[0, :, sl], ph_ref[1, :, sl]
+        fr, fi = wxp_ref[0, :, sl], wxp_ref[1, :, sl]
+        gj_full = g_refs[j]
+        for k, f_re, f_im in _phasor_pairs(fr, fi, pr, pi, B):
+            s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            gj = gj_full[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+            contrib[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+            contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+
+
+def _fwd_cfused_kernel(*refs, R, B, C, TB, NJ, O2, mxu_dtype=jnp.float32):
+    g_refs = refs[:NJ]
+    r_ref, ph_ref, wxp_ref, w_ref, out_ref, contrib = refs[NJ:NJ + 6]
+    _cfused_accum_contrib(g_refs, r_ref, ph_ref, wxp_ref, contrib,
+                          R=R, B=B, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+    y = jnp.zeros((TB, O2), jnp.float32)
+    for r in range(R):
+        cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+        y += jnp.dot(cr, w_ref[r].astype(mxu_dtype),
+                     preferred_element_type=jnp.float32)
+    out_ref[:] = y
+
+
+def _bwd_cfused_kernel(*refs, R, B, C, TB, NJ, O2, mxu_dtype=jnp.float32):
+    dy_ref = refs[0]
+    g_refs = refs[1:1 + NJ]
+    r_ref, ph_ref, wxp_ref, w_ref = refs[1 + NJ:5 + NJ]
+    part_ref, dw_ref = refs[5 + NJ:7 + NJ]
+    contrib, dcontrib = refs[7 + NJ:9 + NJ]
+    C2 = 2 * C
+
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dy = dy_ref[:].astype(mxu_dtype)
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+    for r in range(R):
+        dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+            dy, w_ref[r].astype(mxu_dtype), contract_cols,
+            preferred_element_type=jnp.float32)
+
+    contrib[:] = jnp.zeros_like(contrib)
+    for j in range(NJ):
+        sl = slice(j * TB, (j + 1) * TB)
+        hats = _hats_from_r(r_ref[:, sl], R)
+        pr, pi = ph_ref[0, :, sl], ph_ref[1, :, sl]
+        fr, fi = wxp_ref[0, :, sl], wxp_ref[1, :, sl]
+        gj_full = g_refs[j]
+        for k, f_re, f_im in _phasor_pairs(fr, fi, pr, pi, B):
+            s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            # contrib recompute (for dW)
+            gj = gj_full[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+            contrib[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+            contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+            # transposed contraction -> dG partials for this (j, k)
+            d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            part_ref[j * TB:(j + 1) * TB, (2 * k) * C:(2 * k + 1) * C] = \
+                p1[:, :C] + p2[:, C:]
+            part_ref[j * TB:(j + 1) * TB, (2 * k + 1) * C:(2 * k + 2) * C] = \
+                p1[:, C:] - p2[:, :C]
+
+    for r in range(R):
+        cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+        dw_ref[r] += jax.lax.dot_general(
+            cr, dy, contract_rows, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _band_cfused(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
+                 band_limit, precision):
+    return _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh,
+                                 n_rings, band_limit, precision)
+
+
+def _cfused_stencil_specs(R, K, TB, NJ):
+    return [
+        pl.BlockSpec((TB, NJ * TB), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, TB, NJ * TB), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, TB, NJ * TB), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
+                          band_limit, precision):
+    N, M = g.shape
+    R, B, TB = n_rings, band_limit, tb
+    K = 2 * B + 1
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    return pl.pallas_call(
+        functools.partial(_fwd_cfused_kernel, R=R, B=B, C=C, TB=TB, NJ=NJ,
+                          O2=O2, mxu_dtype=_mxu_dtype(precision)),
+        grid=(nb,),
+        in_specs=_g_specs(nb, nh, TB, M) + _cfused_stencil_specs(R, K, TB, NJ) + [
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, O2), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*([g] * NJ), r_band, ph_band, wxp_band, wmat)
+
+
+def _band_cfused_fwd(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
+                     band_limit, precision):
+    y = _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh,
+                              n_rings, band_limit, precision)
+    return y, (g, wmat, r_band, ph_band, wxp_band)
+
+
+def _band_cfused_bwd(tb, nh, n_rings, band_limit, precision, res, dy):
+    g, wmat, r_band, ph_band, wxp_band = res
+    N, M = g.shape
+    R, B, TB = n_rings, band_limit, tb
+    K = 2 * B + 1
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    parts, dw = pl.pallas_call(
+        functools.partial(_bwd_cfused_kernel, R=R, B=B, C=C, TB=TB, NJ=NJ,
+                          O2=O2, mxu_dtype=_mxu_dtype(precision)),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TB, O2), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _g_specs(nb, nh, TB, M) + _cfused_stencil_specs(R, K, TB, NJ) + [
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(dy, *([g] * NJ), r_band, ph_band, wxp_band, wmat)
+
+    parts = parts.reshape(nb, NJ, TB, M)
+    dg = jnp.zeros((nb, TB, M), jnp.float32)
+    for j in range(NJ):
+        d = j - nh
+        if d == 0:
+            dg = dg + parts[:, j]
+        elif d > 0:
+            dg = dg.at[d:].add(parts[:-d, j])
+        else:
+            dg = dg.at[:d].add(parts[-d:, j])
+    return (dg.reshape(N, M), dw, jnp.zeros_like(r_band),
+            jnp.zeros_like(ph_band), jnp.zeros_like(wxp_band))
+
+
+_band_cfused.defvjp(_band_cfused_fwd, _band_cfused_bwd)
+
+
 def rotated_source_tensor_kmajor(x, band_limit):
     """G[n, (k, p, c)] = x[n,c]·e^{-i k φ_{n,c}} flattened k-major for the
     kernel's contiguous per-k column panels. x: (N, C, 2)."""
@@ -457,6 +706,15 @@ def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype,
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)
+    if isinstance(banded, CompressedBandedTable):
+        wmat = filters_to_wmat(coeff)
+        y2 = _band_cfused(
+            g, wmat, banded.r_band, banded.ph_band, banded.wxp_band,
+            banded.tb, banded.nh, banded.n_rings, banded.band_limit,
+            precision,
+        )
+        O = wmat.shape[-1] // 2
+        return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     if fuse_filters:
         wmat = filters_to_wmat(coeff)
         y2 = _band_fused(

@@ -180,3 +180,38 @@ def test_band_contrib_bf16(rng):
     denom = float(jnp.linalg.norm(ref)) + 1e-9
     rel = float(jnp.linalg.norm(got - ref)) / denom
     assert rel < 0.02, rel
+
+
+def test_compressed_matches_fused(rng):
+    """Compressed-stencil kernel (in-VMEM hat/phasor reconstruction) ==
+    dense-stencil fused path, values and all grads."""
+    from fieldconv_tpu.precomp.banded import build_compressed_banded
+
+    g = banded_graph(rng)
+    table, banded = tables_for(g)
+    comp = build_compressed_banded(table, tb=8)
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(
+        np.stack([rng.normal(size=(N, C)), rng.normal(size=(N, C))], -1),
+        jnp.float32,
+    )
+    zr = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    y_ref = field_conv_banded(x, banded, zr, sph, ph, 1)
+    y_cmp = field_conv_banded(x, comp, zr, sph, ph, 1)
+    np.testing.assert_allclose(np.asarray(y_cmp), np.asarray(y_ref),
+                               atol=2e-5)
+
+    def loss(tbl):
+        def f(x, zr, sph, ph):
+            y = field_conv_banded(x, tbl, zr, sph, ph, 1)
+            return jnp.sum(y ** 2 + y)
+        return f
+
+    gr = jax.grad(loss(banded), argnums=(0, 1, 2, 3))(x, zr, sph, ph)
+    gc = jax.grad(loss(comp), argnums=(0, 1, 2, 3))(x, zr, sph, ph)
+    for a, b in zip(gc, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
