@@ -104,7 +104,9 @@ def main():
     from fieldconv_tpu.precomp.banded import build_banded_table
     from fieldconv_tpu.utils.complexops import modrelu, soft_abs
 
-    N, D, B, R, C, O = 8192, 128, 2, 6, 32, 32
+    N = int(os.environ.get("BENCH_N", "8192"))
+    D = int(os.environ.get("BENCH_D", "128"))
+    B, R, C, O = 2, 6, 32, 32
     impl = os.environ.get("BENCH_IMPL", "banded")
     table_np = build_synthetic_tables(N=N, D=D, B=B, R=R)
     edges = N * D
@@ -138,12 +140,16 @@ def main():
     out = step(x, zonal, sph, phase, bias)
     jax.block_until_ready(out)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(x, zonal, sph, phase, bias)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # median over repeats — the shared chip shows ±20% run-to-run noise
+    iters, reps = 20, 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(x, zonal, sph, phase, bias)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    dt = sorted(times)[reps // 2]
     edges_per_s = edges / dt
 
     vs_baseline = 1.0

@@ -10,13 +10,24 @@ live in vertex blocks b-nh … b+nh, so the slot contraction decomposes into
 (2nh+1) dense (R·TB, TB) × (TB, 2C) matmuls per angular frequency k, with
 the complex arithmetic hand-written on planar pairs.
 
-The XLA fallback for the same math is ops/field_conv.field_conv_contrib —
-it bottlenecks on XLA's gather (~30 GB/s); this kernel replaces it at
-~100× on real chips.
+The stencil ships block-major packed — one contiguous (R+2K, TB, W') chunk
+per target block — so each grid step issues a single large DMA.  Measured
+on-chip: the pipeline is dominated by per-transfer overhead, not bandwidth
+(~19 strided ~200KB transfers/step ran at ~200GB/s effective vs ~2TB/s for
+contiguous streams).
 
-Backward: the transposed band matmul (S^H · dO) emits per-(block, shift)
+The XLA fallback for the same math is ops/field_conv.field_conv_contrib —
+it bottlenecks on XLA's gather; this kernel replaces it at ~100× on real
+chips.  `fuse_filters` additionally applies the (O,C,R,K) filter
+contraction inside the kernel (per-ring W matrices against the VMEM-resident
+block contrib), so the (N, R·K·2C) contrib tensor never touches HBM.
+
+Backward: the transposed band matmul (Sᴴ · dO) emits per-(block, shift)
 partials of dG that are summed with aligned block shifts outside the kernel
-(the band transpose of a scatter — no atomics, deterministic).
+(the band transpose of a scatter — no atomics, deterministic); the fused
+backward rematerialises contrib from g (FLOPs are far cheaper than the HBM
+round-trip) and accumulates dW across grid steps in a revisited output
+block.
 """
 
 from __future__ import annotations
@@ -29,50 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...precomp.banded import BandedTable, CompressedBandedTable
-
-
-def _fwd_kernel(*refs, R, K, C, TB, NJ, mxu_dtype=jnp.float32):
-    g_refs = refs[:NJ]
-    rsten_ref, fwxp_ref, out_ref = refs[NJ], refs[NJ + 1], refs[NJ + 2]
-    C2 = 2 * C
-    for k in range(K):
-        acc_a = jnp.zeros((R * TB, C2), jnp.float32)
-        acc_b = jnp.zeros((R * TB, C2), jnp.float32)
-        for j in range(NJ):
-            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]          # (R, TB, TB)
-            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]        # (TB, TB)
-            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
-            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
-            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
-            gj = g_refs[j][:, k * C2:(k + 1) * C2].astype(mxu_dtype)
-            acc_a += jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
-            acc_b += jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
-        o_re = acc_a[:, :C] - acc_b[:, C:]
-        o_im = acc_a[:, C:] + acc_b[:, :C]
-        out_ref[:, (2 * k) * C:(2 * k + 1) * C] = o_re
-        out_ref[:, (2 * k + 1) * C:(2 * k + 2) * C] = o_im
-
-
-def _bwd_kernel(*refs, R, K, C, TB, NJ, mxu_dtype=jnp.float32):
-    dout_ref, rsten_ref, fwxp_ref, part_ref = refs
-    C2 = 2 * C
-    for k in range(K):
-        d_both = dout_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)  # (R·TB, 2C)
-        for j in range(NJ):
-            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]
-            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]
-            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
-            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
-            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
-            contract_rows = (((0,), (0,)), ((), ()))
-            p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
-                                     preferred_element_type=jnp.float32)
-            p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
-                                     preferred_element_type=jnp.float32)
-            dg_re = p1[:, :C] + p2[:, C:]
-            dg_im = p1[:, C:] - p2[:, :C]
-            part_ref[j * TB:(j + 1) * TB, (2 * k) * C:(2 * k + 1) * C] = dg_re
-            part_ref[j * TB:(j + 1) * TB, (2 * k + 1) * C:(2 * k + 2) * C] = dg_im
 
 
 def _interpret() -> bool:
@@ -88,26 +55,32 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _band_contrib(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
-                  precision):
-    return _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh,
-                                  n_rings, k_width, precision)
-
-
 def _mxu_dtype(precision):
     return jnp.bfloat16 if precision == "bf16" else jnp.float32
 
 
-def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
-                           precision="f32"):
-    N, M = g.shape               # M = K·2·C
-    R, K, TB = n_rings, k_width, tb
-    NJ = 2 * nh + 1
-    C = M // (2 * K)
-    nb = N // TB
+# --- packed-stencil accessors ----------------------------------------------
+#
+# sten_ref block: (1, R+2K, TB, NJ·TB).  Planes 0..R-1 = radial weights;
+# plane R+2k+p = fwxp_k re (p=0) / im (p=1).
 
-    g_specs = [
+def _rs_plane(sten_ref, R, j, TB):
+    return sten_ref[0, :R, :, j * TB:(j + 1) * TB]          # (R, TB, TB)
+
+
+def _f_planes(sten_ref, R, k, j, TB):
+    fre = sten_ref[0, R + 2 * k, :, j * TB:(j + 1) * TB]    # (TB, TB)
+    fim = sten_ref[0, R + 2 * k + 1, :, j * TB:(j + 1) * TB]
+    return fre, fim
+
+
+def _sten_spec(R, K, TB, NJ):
+    return pl.BlockSpec((1, R + 2 * K, TB, NJ * TB), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _g_specs(nb, nh, TB, M):
+    return [
         pl.BlockSpec(
             (TB, M),
             functools.partial(
@@ -115,36 +88,103 @@ def _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
             ),
             memory_space=pltpu.VMEM,
         )
-        for j in range(NJ)
+        for j in range(2 * nh + 1)
     ]
+
+
+# --- unfused kernels (contrib out) -----------------------------------------
+
+def _fwd_kernel(*refs, R, K, C, TB, NJ, mxu_dtype=jnp.float32):
+    g_refs = refs[:NJ]
+    sten_ref, out_ref = refs[NJ], refs[NJ + 1]
+    C2 = 2 * C
+    for k in range(K):
+        acc_a = jnp.zeros((R * TB, C2), jnp.float32)
+        acc_b = jnp.zeros((R * TB, C2), jnp.float32)
+        for j in range(NJ):
+            rs = _rs_plane(sten_ref, R, j, TB)
+            fre, fim = _f_planes(sten_ref, R, k, j, TB)
+            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            gj = g_refs[j][:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            acc_a += jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            acc_b += jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        out_ref[:, (2 * k) * C:(2 * k + 1) * C] = acc_a[:, :C] - acc_b[:, C:]
+        out_ref[:, (2 * k + 1) * C:(2 * k + 2) * C] = acc_a[:, C:] + acc_b[:, :C]
+
+
+def _bwd_kernel(*refs, R, K, C, TB, NJ, mxu_dtype=jnp.float32):
+    dout_ref, sten_ref, part_ref = refs
+    C2 = 2 * C
+    contract_rows = (((0,), (0,)), ((), ()))
+    for k in range(K):
+        d_both = dout_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)  # (R·TB, 2C)
+        for j in range(NJ):
+            rs = _rs_plane(sten_ref, R, j, TB)
+            fre, fim = _f_planes(sten_ref, R, k, j, TB)
+            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            part_ref[j * TB:(j + 1) * TB, (2 * k) * C:(2 * k + 1) * C] = \
+                p1[:, :C] + p2[:, C:]
+            part_ref[j * TB:(j + 1) * TB, (2 * k + 1) * C:(2 * k + 2) * C] = \
+                p1[:, C:] - p2[:, :C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _band_contrib(g, sten_band, tb, nh, n_rings, k_width, precision):
+    return _band_contrib_fwd_impl(g, sten_band, tb, nh, n_rings, k_width,
+                                  precision)
+
+
+def _band_contrib_fwd_impl(g, sten_band, tb, nh, n_rings, k_width,
+                           precision="f32"):
+    N, M = g.shape               # M = K·2·C
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    nb = N // TB
+
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
                           mxu_dtype=_mxu_dtype(precision)),
         grid=(nb,),
-        in_specs=g_specs + [
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_g_specs(nb, nh, TB, M) + [_sten_spec(R, K, TB, NJ)],
         out_specs=pl.BlockSpec((R * TB, M), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * R * TB, M), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*([g] * NJ), rsten_band, fwxp_band)
+    )(*([g] * NJ), sten_band)
     return out
 
 
-def _band_contrib_fwd(g, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
-                      precision):
-    out = _band_contrib_fwd_impl(g, rsten_band, fwxp_band, tb, nh,
-                                 n_rings, k_width, precision)
-    return out, (g, rsten_band, fwxp_band)
+def _band_contrib_fwd(g, sten_band, tb, nh, n_rings, k_width, precision):
+    out = _band_contrib_fwd_impl(g, sten_band, tb, nh, n_rings, k_width,
+                                 precision)
+    return out, (g, sten_band)
+
+
+def _shift_combine(parts, nb, NJ, nh, TB, M):
+    """Sum per-(block, shift) dG partials onto their owner blocks."""
+    parts = parts.reshape(nb, NJ, TB, M)
+    dg = jnp.zeros((nb, TB, M), jnp.float32)
+    for j in range(NJ):
+        d = j - nh
+        if d == 0:
+            dg = dg + parts[:, j]
+        elif d > 0:
+            dg = dg.at[d:].add(parts[:-d, j])
+        else:
+            dg = dg.at[:d].add(parts[-d:, j])
+    return dg.reshape(nb * TB, M)
 
 
 def _band_contrib_bwd(tb, nh, n_rings, k_width, precision, res, dout):
-    g, rsten_band, fwxp_band = res
+    g, sten_band = res
     N, M = g.shape
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
@@ -158,67 +198,24 @@ def _band_contrib_bwd(tb, nh, n_rings, k_width, precision, res, dout):
         in_specs=[
             pl.BlockSpec((R * TB, M), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            _sten_spec(R, K, TB, NJ),
         ],
         out_specs=pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(dout, rsten_band, fwxp_band)
+    )(dout, sten_band)
 
-    # combine shifted partials: contribution of (block b, sub-window j)
-    # belongs to vertex block b - nh + j
-    parts = parts.reshape(nb, NJ, TB, M)
-    dg = jnp.zeros((nb, TB, M), jnp.float32)
-    for j in range(NJ):
-        d = j - nh
-        if d == 0:
-            dg = dg + parts[:, j]
-        elif d > 0:
-            dg = dg.at[d:].add(parts[:-d, j])
-        else:
-            dg = dg.at[:d].add(parts[-d:, j])
-    # zero cotangents for the (constant) stencil tables; DCE'd by XLA
-    return dg.reshape(N, M), jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band)
+    dg = _shift_combine(parts, nb, NJ, nh, TB, M)
+    # zero cotangent for the (constant) stencil table; DCE'd by XLA
+    return dg, jnp.zeros_like(sten_band)
 
 
 _band_contrib.defvjp(_band_contrib_fwd, _band_contrib_bwd)
 
 
-def band_contrib(g, banded: BandedTable, precision: str = "f32"):
-    """g: (N, K·2·C) planar rotated-source tensor (k-major, see
-    rotated_source_tensor_kmajor).  Returns contrib (N, R, C, K, 2).
-
-    precision: "f32" (exact) or "bf16" (MXU operands cast to bfloat16 with
-    f32 accumulation — ~1.9x faster, ~1e-2 relative error).
-    """
-    N, M = g.shape
-    R, K, TB = banded.n_rings, banded.k_width, banded.tb
-    C = M // (2 * K)
-    nb = N // TB
-    out = _band_contrib(
-        g, banded.rsten_band, banded.fwxp_band,
-        banded.tb, banded.nh, banded.n_rings, banded.k_width, precision,
-    )
-    # (nb·R·TB, K·2·C) -> (N, R, C, K, 2)
-    out = out.reshape(nb, R, TB, K, 2, C)
-    return jnp.transpose(out, (0, 2, 1, 5, 3, 4)).reshape(N, R, C, K, 2)
-
-
 # --- fused kernel: filter contraction folded into the band contraction ----
-#
-# The unfused path writes contrib (N, R·K·2C) to HBM (~8x the size of the
-# output), re-reads and transposes it, then contracts with the filters in
-# XLA.  The fused kernel keeps the per-block contrib in VMEM scratch and
-# applies the per-ring filter matrices W (R, K·2C, 2O) on-chip, emitting
-# only y (N, 2O).  Backward rematerialises contrib from g (FLOPs are far
-# cheaper than the HBM round-trip) and accumulates dW across grid steps in
-# a revisited output block.
-
 
 def filters_to_wmat(coeff):
     """Pack the planar filter bank (O, C, R, K, 2) into per-ring real
@@ -237,17 +234,16 @@ def filters_to_wmat(coeff):
     return (w / K).reshape(R, K * 2 * C, 2 * O)
 
 
-def _contrib_to_scratch(g_refs, rsten_ref, fwxp_ref, scratch, *, R, K, C, TB,
-                        NJ, mxu_dtype):
+def _contrib_to_scratch(g_refs, sten_ref, scratch, *, R, K, C, TB, NJ,
+                        mxu_dtype):
     """Shared fwd contraction: write the block's contrib into VMEM scratch."""
     C2 = 2 * C
     for k in range(K):
         acc_a = jnp.zeros((R * TB, C2), jnp.float32)
         acc_b = jnp.zeros((R * TB, C2), jnp.float32)
         for j in range(NJ):
-            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]
-            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]
-            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
+            rs = _rs_plane(sten_ref, R, j, TB)
+            fre, fim = _f_planes(sten_ref, R, k, j, TB)
             s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
             s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
             gj = g_refs[j][:, k * C2:(k + 1) * C2].astype(mxu_dtype)
@@ -259,8 +255,8 @@ def _contrib_to_scratch(g_refs, rsten_ref, fwxp_ref, scratch, *, R, K, C, TB,
 
 def _fwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
     g_refs = refs[:NJ]
-    rsten_ref, fwxp_ref, w_ref, out_ref, scratch = refs[NJ:NJ + 5]
-    _contrib_to_scratch(g_refs, rsten_ref, fwxp_ref, scratch,
+    sten_ref, w_ref, out_ref, scratch = refs[NJ:NJ + 4]
+    _contrib_to_scratch(g_refs, sten_ref, scratch,
                         R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
     y = jnp.zeros((TB, O2), jnp.float32)
     for r in range(R):
@@ -273,9 +269,9 @@ def _fwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
 def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
     dy_ref = refs[0]
     g_refs = refs[1:1 + NJ]
-    rsten_ref, fwxp_ref, w_ref = refs[1 + NJ:4 + NJ]
-    part_ref, dw_ref = refs[4 + NJ:6 + NJ]
-    contrib, dcontrib = refs[6 + NJ:8 + NJ]
+    sten_ref, w_ref = refs[1 + NJ:3 + NJ]
+    part_ref, dw_ref = refs[3 + NJ:5 + NJ]
+    contrib, dcontrib = refs[5 + NJ:7 + NJ]
     C2 = 2 * C
 
     b = pl.program_id(0)
@@ -285,7 +281,7 @@ def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     # rematerialise the block's contrib for the dW product
-    _contrib_to_scratch(g_refs, rsten_ref, fwxp_ref, contrib,
+    _contrib_to_scratch(g_refs, sten_ref, contrib,
                         R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
 
     dy = dy_ref[:].astype(mxu_dtype)                       # (TB, O2)
@@ -303,9 +299,8 @@ def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
     for k in range(K):
         d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
         for j in range(NJ):
-            rs = rsten_ref[:, :, j * TB:(j + 1) * TB]
-            fre = fwxp_ref[k, 0, :, j * TB:(j + 1) * TB]
-            fim = fwxp_ref[k, 1, :, j * TB:(j + 1) * TB]
+            rs = _rs_plane(sten_ref, R, j, TB)
+            fre, fim = _f_planes(sten_ref, R, k, j, TB)
             s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
             s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
             p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
@@ -318,28 +313,14 @@ def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
                 p1[:, C:] - p2[:, :C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _band_fused(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
-                precision):
-    return _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh,
-                                n_rings, k_width, precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _band_fused(g, wmat, sten_band, tb, nh, n_rings, k_width, precision):
+    return _band_fused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
+                                precision)
 
 
-def _g_specs(nb, nh, TB, M):
-    return [
-        pl.BlockSpec(
-            (TB, M),
-            functools.partial(
-                lambda b, jj: (jnp.clip(b - nh + jj, 0, nb - 1), 0), jj=j
-            ),
-            memory_space=pltpu.VMEM,
-        )
-        for j in range(2 * nh + 1)
-    ]
-
-
-def _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
-                         k_width, precision):
+def _band_fused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
+                         precision):
     N, M = g.shape
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
@@ -352,10 +333,7 @@ def _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
                           O2=O2, mxu_dtype=_mxu_dtype(precision)),
         grid=(nb,),
         in_specs=_g_specs(nb, nh, TB, M) + [
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            _sten_spec(R, K, TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -365,18 +343,17 @@ def _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
         scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*([g] * (2 * nh + 1)), rsten_band, fwxp_band, wmat)
+    )(*([g] * (2 * nh + 1)), sten_band, wmat)
 
 
-def _band_fused_fwd(g, wmat, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
-                    precision):
-    y = _band_fused_fwd_impl(g, wmat, rsten_band, fwxp_band, tb, nh,
-                             n_rings, k_width, precision)
-    return y, (g, wmat, rsten_band, fwxp_band)
+def _band_fused_fwd(g, wmat, sten_band, tb, nh, n_rings, k_width, precision):
+    y = _band_fused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
+                             precision)
+    return y, (g, wmat, sten_band)
 
 
 def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
-    g, wmat, rsten_band, fwxp_band = res
+    g, wmat, sten_band = res
     N, M = g.shape
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
@@ -392,10 +369,7 @@ def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
             pl.BlockSpec((TB, O2), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ] + _g_specs(nb, nh, TB, M) + [
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            _sten_spec(R, K, TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -416,20 +390,10 @@ def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(dy, *([g] * NJ), rsten_band, fwxp_band, wmat)
+    )(dy, *([g] * NJ), sten_band, wmat)
 
-    parts = parts.reshape(nb, NJ, TB, M)
-    dg = jnp.zeros((nb, TB, M), jnp.float32)
-    for j in range(NJ):
-        d = j - nh
-        if d == 0:
-            dg = dg + parts[:, j]
-        elif d > 0:
-            dg = dg.at[d:].add(parts[:-d, j])
-        else:
-            dg = dg.at[:d].add(parts[-d:, j])
-    return (dg.reshape(N, M), dw,
-            jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band))
+    dg = _shift_combine(parts, nb, NJ, nh, TB, M)
+    return dg, dw, jnp.zeros_like(sten_band)
 
 
 _band_fused.defvjp(_band_fused_fwd, _band_fused_bwd)
@@ -437,19 +401,16 @@ _band_fused.defvjp(_band_fused_fwd, _band_fused_bwd)
 
 # --- compressed-stencil fused kernel ---------------------------------------
 #
-# The fused kernel is ~90% memory-bound (probe: load-only ≈ full kernel
-# time), so the next lever is shipping fewer stencil bytes: instead of
-# R + 2K dense planes per slot (rsten + fwxp), ship 5 planes (r, e^{iθ},
-# wxp) and reconstruct in VMEM — radial hats are piecewise-linear on the
-# sqrt-spaced knots (precomp/stencil.radial_interpolant), angular factors
-# are phasor powers.  ~3x less stencil traffic for ~2% more VPU work.
+# 5 planes (r, e^{iθ}, wxp) instead of R+2K; radial hats and phasor powers
+# rebuilt in VMEM.  ~3x smaller stencil memory footprint for large meshes;
+# measured slower than the dense fused kernel on one chip (the VPU
+# reconstruction outweighs the saved DMA), so it is opt-in.
 
 
 def _ring_knots(R):
     import math
 
-    s = [math.sqrt(r / (R - 1)) for r in range(R)]
-    return s
+    return [math.sqrt(r / (R - 1)) for r in range(R)]
 
 
 def _hats_from_r(rv, R):
@@ -486,17 +447,23 @@ def _phasor_pairs(fr, fi, pr, pi, B):
     return out
 
 
-def _cfused_accum_contrib(g_refs, r_ref, ph_ref, wxp_ref, contrib, *, R, B, C,
-                          TB, NJ, mxu_dtype):
+def _csten_planes(sten_ref, j, TB):
+    """Compressed block planes: (r, ph_re, ph_im, wxp_re, wxp_im)."""
+    sl = slice(j * TB, (j + 1) * TB)
+    return (sten_ref[0, 0, :, sl], sten_ref[0, 1, :, sl],
+            sten_ref[0, 2, :, sl], sten_ref[0, 3, :, sl],
+            sten_ref[0, 4, :, sl])
+
+
+def _cfused_accum_contrib(g_refs, sten_ref, contrib, *, R, B, C, TB, NJ,
+                          mxu_dtype):
     """contrib[:] = the block's (R·TB, K·2C) contribution tensor, rebuilt
     from the compressed planes."""
     C2 = 2 * C
     contrib[:] = jnp.zeros_like(contrib)
     for j in range(NJ):
-        sl = slice(j * TB, (j + 1) * TB)
-        hats = _hats_from_r(r_ref[:, sl], R)                   # (R, TB, TB)
-        pr, pi = ph_ref[0, :, sl], ph_ref[1, :, sl]
-        fr, fi = wxp_ref[0, :, sl], wxp_ref[1, :, sl]
+        rv, pr, pi, fr, fi = _csten_planes(sten_ref, j, TB)
+        hats = _hats_from_r(rv, R)                             # (R, TB, TB)
         gj_full = g_refs[j]
         for k, f_re, f_im in _phasor_pairs(fr, fi, pr, pi, B):
             s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
@@ -510,8 +477,8 @@ def _cfused_accum_contrib(g_refs, r_ref, ph_ref, wxp_ref, contrib, *, R, B, C,
 
 def _fwd_cfused_kernel(*refs, R, B, C, TB, NJ, O2, mxu_dtype=jnp.float32):
     g_refs = refs[:NJ]
-    r_ref, ph_ref, wxp_ref, w_ref, out_ref, contrib = refs[NJ:NJ + 6]
-    _cfused_accum_contrib(g_refs, r_ref, ph_ref, wxp_ref, contrib,
+    sten_ref, w_ref, out_ref, contrib = refs[NJ:NJ + 4]
+    _cfused_accum_contrib(g_refs, sten_ref, contrib,
                           R=R, B=B, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
     y = jnp.zeros((TB, O2), jnp.float32)
     for r in range(R):
@@ -524,9 +491,9 @@ def _fwd_cfused_kernel(*refs, R, B, C, TB, NJ, O2, mxu_dtype=jnp.float32):
 def _bwd_cfused_kernel(*refs, R, B, C, TB, NJ, O2, mxu_dtype=jnp.float32):
     dy_ref = refs[0]
     g_refs = refs[1:1 + NJ]
-    r_ref, ph_ref, wxp_ref, w_ref = refs[1 + NJ:5 + NJ]
-    part_ref, dw_ref = refs[5 + NJ:7 + NJ]
-    contrib, dcontrib = refs[7 + NJ:9 + NJ]
+    sten_ref, w_ref = refs[1 + NJ:3 + NJ]
+    part_ref, dw_ref = refs[3 + NJ:5 + NJ]
+    contrib, dcontrib = refs[5 + NJ:7 + NJ]
     C2 = 2 * C
 
     b = pl.program_id(0)
@@ -545,10 +512,8 @@ def _bwd_cfused_kernel(*refs, R, B, C, TB, NJ, O2, mxu_dtype=jnp.float32):
 
     contrib[:] = jnp.zeros_like(contrib)
     for j in range(NJ):
-        sl = slice(j * TB, (j + 1) * TB)
-        hats = _hats_from_r(r_ref[:, sl], R)
-        pr, pi = ph_ref[0, :, sl], ph_ref[1, :, sl]
-        fr, fi = wxp_ref[0, :, sl], wxp_ref[1, :, sl]
+        rv, pr, pi, fr, fi = _csten_planes(sten_ref, j, TB)
+        hats = _hats_from_r(rv, R)
         gj_full = g_refs[j]
         for k, f_re, f_im in _phasor_pairs(fr, fi, pr, pi, B):
             s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
@@ -576,26 +541,19 @@ def _bwd_cfused_kernel(*refs, R, B, C, TB, NJ, O2, mxu_dtype=jnp.float32):
             cr, dy, contract_rows, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _band_cfused(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
-                 band_limit, precision):
-    return _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh,
-                                 n_rings, band_limit, precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _band_cfused(g, wmat, sten_band, tb, nh, n_rings, band_limit, precision):
+    return _band_cfused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings,
+                                 band_limit, precision)
 
 
-def _cfused_stencil_specs(R, K, TB, NJ):
-    return [
-        pl.BlockSpec((TB, NJ * TB), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, TB, NJ * TB), lambda b: (0, b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, TB, NJ * TB), lambda b: (0, b, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+def _csten_spec(TB, NJ):
+    return pl.BlockSpec((1, 5, TB, NJ * TB), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
-def _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
-                          band_limit, precision):
+def _band_cfused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, band_limit,
+                          precision):
     N, M = g.shape
     R, B, TB = n_rings, band_limit, tb
     K = 2 * B + 1
@@ -608,7 +566,8 @@ def _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
         functools.partial(_fwd_cfused_kernel, R=R, B=B, C=C, TB=TB, NJ=NJ,
                           O2=O2, mxu_dtype=_mxu_dtype(precision)),
         grid=(nb,),
-        in_specs=_g_specs(nb, nh, TB, M) + _cfused_stencil_specs(R, K, TB, NJ) + [
+        in_specs=_g_specs(nb, nh, TB, M) + [
+            _csten_spec(TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -618,18 +577,18 @@ def _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
         scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*([g] * NJ), r_band, ph_band, wxp_band, wmat)
+    )(*([g] * NJ), sten_band, wmat)
 
 
-def _band_cfused_fwd(g, wmat, r_band, ph_band, wxp_band, tb, nh, n_rings,
-                     band_limit, precision):
-    y = _band_cfused_fwd_impl(g, wmat, r_band, ph_band, wxp_band, tb, nh,
-                              n_rings, band_limit, precision)
-    return y, (g, wmat, r_band, ph_band, wxp_band)
+def _band_cfused_fwd(g, wmat, sten_band, tb, nh, n_rings, band_limit,
+                     precision):
+    y = _band_cfused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings,
+                              band_limit, precision)
+    return y, (g, wmat, sten_band)
 
 
 def _band_cfused_bwd(tb, nh, n_rings, band_limit, precision, res, dy):
-    g, wmat, r_band, ph_band, wxp_band = res
+    g, wmat, sten_band = res
     N, M = g.shape
     R, B, TB = n_rings, band_limit, tb
     K = 2 * B + 1
@@ -645,7 +604,8 @@ def _band_cfused_bwd(tb, nh, n_rings, band_limit, precision, res, dy):
         in_specs=[
             pl.BlockSpec((TB, O2), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-        ] + _g_specs(nb, nh, TB, M) + _cfused_stencil_specs(R, K, TB, NJ) + [
+        ] + _g_specs(nb, nh, TB, M) + [
+            _csten_spec(TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -665,24 +625,16 @@ def _band_cfused_bwd(tb, nh, n_rings, band_limit, precision, res, dy):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(dy, *([g] * NJ), r_band, ph_band, wxp_band, wmat)
+    )(dy, *([g] * NJ), sten_band, wmat)
 
-    parts = parts.reshape(nb, NJ, TB, M)
-    dg = jnp.zeros((nb, TB, M), jnp.float32)
-    for j in range(NJ):
-        d = j - nh
-        if d == 0:
-            dg = dg + parts[:, j]
-        elif d > 0:
-            dg = dg.at[d:].add(parts[:-d, j])
-        else:
-            dg = dg.at[:d].add(parts[-d:, j])
-    return (dg.reshape(N, M), dw, jnp.zeros_like(r_band),
-            jnp.zeros_like(ph_band), jnp.zeros_like(wxp_band))
+    dg = _shift_combine(parts, nb, NJ, nh, TB, M)
+    return dg, dw, jnp.zeros_like(sten_band)
 
 
 _band_cfused.defvjp(_band_cfused_fwd, _band_cfused_bwd)
 
+
+# --- public API ------------------------------------------------------------
 
 def rotated_source_tensor_kmajor(x, band_limit):
     """G[n, (k, p, c)] = x[n,c]·e^{-i k φ_{n,c}} flattened k-major for the
@@ -694,10 +646,31 @@ def rotated_source_tensor_kmajor(x, band_limit):
     return jnp.transpose(G, (0, 2, 3, 1)).reshape(N, K * 2 * C)
 
 
-def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype,
+def band_contrib(g, banded: BandedTable, precision: str = "f32"):
+    """g: (N, K·2·C) planar rotated-source tensor (k-major, see
+    rotated_source_tensor_kmajor).  Returns contrib (N, R, C, K, 2).
+
+    precision: "f32" (exact) or "bf16" (MXU operands cast to bfloat16 with
+    f32 accumulation — faster on MXU-bound shapes, ~1e-2 relative error).
+    """
+    N, M = g.shape
+    R, K, TB = banded.n_rings, banded.k_width, banded.tb
+    C = M // (2 * K)
+    nb = N // TB
+    out = _band_contrib(
+        g, banded.sten_band, banded.tb, banded.nh, banded.n_rings,
+        banded.k_width, precision,
+    )
+    # (nb·R·TB, K·2·C) -> (N, R, C, K, 2)
+    out = out.reshape(nb, R, TB, K, 2, C)
+    return jnp.transpose(out, (0, 2, 1, 5, 3, 4)).reshape(N, R, C, K, 2)
+
+
+def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
                       precision: str = "f32", fuse_filters: bool = True):
     """Full field convolution over the banded layout: (N, C, 2) -> (N, O, 2).
 
+    banded: BandedTable (dense packed stencil) or CompressedBandedTable.
     fuse_filters=True (default) applies the filter contraction inside the
     kernel — the contrib tensor never touches HBM.  The unfused path is
     kept for A/B benchmarking (BENCH_FUSE=0)."""
@@ -709,7 +682,7 @@ def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype,
     if isinstance(banded, CompressedBandedTable):
         wmat = filters_to_wmat(coeff)
         y2 = _band_cfused(
-            g, wmat, banded.r_band, banded.ph_band, banded.wxp_band,
+            g, wmat, banded.sten_band,
             banded.tb, banded.nh, banded.n_rings, banded.band_limit,
             precision,
         )
@@ -718,7 +691,7 @@ def field_conv_banded(x, banded: BandedTable, zonal, spherical, phase, ftype,
     if fuse_filters:
         wmat = filters_to_wmat(coeff)
         y2 = _band_fused(
-            g, wmat, banded.rsten_band, banded.fwxp_band,
+            g, wmat, banded.sten_band,
             banded.tb, banded.nh, banded.n_rings, banded.k_width, precision,
         )
         O = wmat.shape[-1] // 2

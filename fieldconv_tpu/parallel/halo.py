@@ -1,18 +1,18 @@
 """Graph-parallel field convolution with explicit halo exchange.
 
 The banded layout (precomp/banded.py) shards naturally: each device of the
-'graph' axis owns a contiguous range of vertex blocks; every edge reaches at
-most nh blocks away, so the only remote data a device needs is the nh·TB
-boundary rows of its ring neighbors — the *halo*.  Forward: ppermute the
-boundary rows of the rotated-source tensor G, run the local band kernel on
-the extended array.  Backward: the transposed kernel produces cotangents
-for halo rows, which ppermute back to their owners (the deterministic band
-transpose of a scatter — partition count does not change the sums'
-structure).
+'graph' axis owns a contiguous range of vertex blocks (the leading axis of
+the packed stencil), so every edge reaches at most nh blocks away and the
+only remote data a device needs is the nh·TB boundary rows of its ring
+neighbors — the *halo*.  Forward: ppermute the boundary rows of the
+rotated-source tensor G, run the local band kernel on the extended array.
+Backward: the transposed kernel produces cotangents for halo rows, which
+ppermute back to their owners (the deterministic band transpose of a
+scatter — partition count does not change the sums' structure).
 
 This is the mesh analog of context parallelism (SURVEY.md §5.7): collect
 boundary features over ICI, overlap with local SpMM.  Use under
-jax.shard_map with the vertex/block axis sharded on `axis_name`.
+jax.shard_map with the block axis sharded on `axis_name`.
 """
 
 from __future__ import annotations
@@ -32,25 +32,15 @@ from ..ops.pallas.band_conv import (
     _fwd_fused_kernel,
     _fwd_kernel,
     _interpret,
+    _sten_spec,
     filters_to_wmat,
 )
 
 
-def _halo_fwd_impl(g_ext, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
-    """Band contraction of local targets against a halo-extended G.
-
-    g_ext: (N_local + 2·nh·TB, M); tables: local rows (N_local, ·).
-    Target block b reads g_ext blocks b+j (no clipping — halos supply the
-    ends, zero stencil slots cover the global boundary).
-    """
-    R, K, TB = n_rings, k_width, tb
-    NJ = 2 * nh + 1
-    N_local = rsten_band.shape[1]
-    M = g_ext.shape[1]
-    C = M // (2 * K)
-    nb = N_local // TB
-
-    g_specs = [
+def _halo_g_specs(NJ, TB, M):
+    """Target block b reads g_ext blocks b+j (no clipping — halos supply the
+    ends, zero stencil slots cover the global boundary)."""
+    return [
         pl.BlockSpec(
             (TB, M),
             functools.partial(lambda b, jj: (b + jj, 0), jj=j),
@@ -58,30 +48,34 @@ def _halo_fwd_impl(g_ext, rsten_band, fwxp_band, tb, nh, n_rings, k_width):
         )
         for j in range(NJ)
     ]
+
+
+def _halo_fwd_impl(g_ext, sten_band, tb, nh, n_rings, k_width):
+    """Band contraction of local targets against a halo-extended G."""
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    nb = sten_band.shape[0]
+    M = g_ext.shape[1]
+    C = M // (2 * K)
+
     return pl.pallas_call(
         functools.partial(_fwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
         grid=(nb,),
-        in_specs=g_specs + [
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_halo_g_specs(NJ, TB, M) + [_sten_spec(R, K, TB, NJ)],
         out_specs=pl.BlockSpec((R * TB, M), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * R * TB, M), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*([g_ext] * NJ), rsten_band, fwxp_band)
+    )(*([g_ext] * NJ), sten_band)
 
 
-def _halo_bwd_impl(dout, rsten_band, fwxp_band, tb, nh, n_rings, k_width, M):
+def _halo_bwd_impl(dout, sten_band, tb, nh, n_rings, k_width, M):
     """Transposed band matmul: per-(block, shift) partials of dG_ext."""
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
-    N_local = rsten_band.shape[1]
+    nb = sten_band.shape[0]
     C = M // (2 * K)
-    nb = N_local // TB
 
     parts = pl.pallas_call(
         functools.partial(_bwd_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ),
@@ -89,17 +83,14 @@ def _halo_bwd_impl(dout, rsten_band, fwxp_band, tb, nh, n_rings, k_width, M):
         in_specs=[
             pl.BlockSpec((R * TB, M), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            _sten_spec(R, K, TB, NJ),
         ],
         out_specs=pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(dout, rsten_band, fwxp_band)
+    )(dout, sten_band)
 
     # combine: contribution of (local block b, sub-window j) belongs to
     # extended block b + j
@@ -145,31 +136,29 @@ def _return_halos(dg_ext, hw, axis_name):
     return local
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def halo_band_contrib(g_local, rsten_band, fwxp_band, tb, nh, n_rings,
-                      k_width, axis_name):
-    out, _ = _halo_fwd(g_local, rsten_band, fwxp_band, tb, nh, n_rings,
-                       k_width, axis_name)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def halo_band_contrib(g_local, sten_band, tb, nh, n_rings, k_width,
+                      axis_name):
+    out, _ = _halo_fwd(g_local, sten_band, tb, nh, n_rings, k_width,
+                       axis_name)
     return out
 
 
-def _halo_fwd(g_local, rsten_band, fwxp_band, tb, nh, n_rings, k_width,
-              axis_name):
+def _halo_fwd(g_local, sten_band, tb, nh, n_rings, k_width, axis_name):
     hw = nh * tb
     left, right = _exchange_halos(g_local, hw, axis_name)
     g_ext = jnp.concatenate([left, g_local, right], axis=0)
-    out = _halo_fwd_impl(g_ext, rsten_band, fwxp_band, tb, nh, n_rings,
-                         k_width)
-    return out, (g_local, rsten_band, fwxp_band)
+    out = _halo_fwd_impl(g_ext, sten_band, tb, nh, n_rings, k_width)
+    return out, (g_local, sten_band)
 
 
 def _halo_bwd(tb, nh, n_rings, k_width, axis_name, res, dout):
-    g_local, rsten_band, fwxp_band = res
+    g_local, sten_band = res
     hw = nh * tb
-    dg_ext = _halo_bwd_impl(dout, rsten_band, fwxp_band, tb, nh, n_rings,
-                            k_width, g_local.shape[1])
+    dg_ext = _halo_bwd_impl(dout, sten_band, tb, nh, n_rings, k_width,
+                            g_local.shape[1])
     dg = _return_halos(dg_ext, hw, axis_name)
-    return dg, jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band)
+    return dg, jnp.zeros_like(sten_band)
 
 
 halo_band_contrib.defvjp(_halo_fwd, _halo_bwd)
@@ -177,30 +166,19 @@ halo_band_contrib.defvjp(_halo_fwd, _halo_bwd)
 
 # --- fused variant: filter contraction inside the kernel -------------------
 
-def _halo_g_specs(NJ, TB, M):
-    return [
-        pl.BlockSpec(
-            (TB, M),
-            functools.partial(lambda b, jj: (b + jj, 0), jj=j),
-            memory_space=pltpu.VMEM,
-        )
-        for j in range(NJ)
-    ]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def halo_band_fused(g_local, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
-                    k_width, axis_name):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def halo_band_fused(g_local, wmat, sten_band, tb, nh, n_rings, k_width,
+                    axis_name):
     """Sharded fused field conv: returns local y (N_local, 2O).  wmat must be
     replicated across the graph axis; its cotangent is the per-device partial
     (shard_map's transpose of the broadcast psums it)."""
-    y, _ = _halo_fused_fwd(g_local, wmat, rsten_band, fwxp_band, tb, nh,
-                           n_rings, k_width, axis_name)
+    y, _ = _halo_fused_fwd(g_local, wmat, sten_band, tb, nh, n_rings,
+                           k_width, axis_name)
     return y
 
 
-def _halo_fused_fwd(g_local, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
-                    k_width, axis_name):
+def _halo_fused_fwd(g_local, wmat, sten_band, tb, nh, n_rings, k_width,
+                    axis_name):
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
     N_local, M = g_local.shape
@@ -216,10 +194,7 @@ def _halo_fused_fwd(g_local, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
                           O2=O2),
         grid=(nb,),
         in_specs=_halo_g_specs(NJ, TB, M) + [
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            _sten_spec(R, K, TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -229,12 +204,12 @@ def _halo_fused_fwd(g_local, wmat, rsten_band, fwxp_band, tb, nh, n_rings,
         scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*([g_ext] * NJ), rsten_band, fwxp_band, wmat)
-    return y, (g_local, wmat, rsten_band, fwxp_band)
+    )(*([g_ext] * NJ), sten_band, wmat)
+    return y, (g_local, wmat, sten_band)
 
 
 def _halo_fused_bwd(tb, nh, n_rings, k_width, axis_name, res, dy):
-    g_local, wmat, rsten_band, fwxp_band = res
+    g_local, wmat, sten_band = res
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
     N_local, M = g_local.shape
@@ -255,16 +230,14 @@ def _halo_fused_bwd(tb, nh, n_rings, k_width, axis_name, res, dy):
             pl.BlockSpec((TB, O2), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ] + _halo_g_specs(NJ, TB, M) + [
-            pl.BlockSpec((R, TB, NJ * TB), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, TB, NJ * TB), lambda b: (0, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            _sten_spec(R, K, TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((NJ * TB, M), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
+            # revisited accumulator: every grid step maps to the same block
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -278,14 +251,14 @@ def _halo_fused_bwd(tb, nh, n_rings, k_width, axis_name, res, dy):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(dy, *([g_ext] * NJ), rsten_band, fwxp_band, wmat)
+    )(dy, *([g_ext] * NJ), sten_band, wmat)
 
     parts = parts.reshape(nb, NJ, TB, M)
     dg_ext = jnp.zeros((nb + 2 * nh, TB, M), jnp.float32)
     for j in range(NJ):
         dg_ext = dg_ext.at[j:j + nb].add(parts[:, j])
     dg = _return_halos(dg_ext.reshape((nb + 2 * nh) * TB, M), hw, axis_name)
-    return dg, dw, jnp.zeros_like(rsten_band), jnp.zeros_like(fwxp_band)
+    return dg, dw, jnp.zeros_like(sten_band)
 
 
 halo_band_fused.defvjp(_halo_fused_fwd, _halo_fused_bwd)
@@ -302,7 +275,7 @@ def halo_field_conv(g_local, banded_local: BandedTable, zonal, spherical,
                                 banded_local.band_limit)
     wmat = filters_to_wmat(coeff)
     y2 = halo_band_fused(
-        g_local, wmat, banded_local.rsten_band, banded_local.fwxp_band,
+        g_local, wmat, banded_local.sten_band,
         banded_local.tb, banded_local.nh, banded_local.n_rings,
         banded_local.k_width, axis_name,
     )
@@ -319,7 +292,7 @@ def halo_contrib(g_local, banded_local: BandedTable, axis_name: str):
     C = M // (2 * K)
     nb = N_local // TB
     out = halo_band_contrib(
-        g_local, banded_local.rsten_band, banded_local.fwxp_band,
+        g_local, banded_local.sten_band,
         TB, banded_local.nh, R, K, axis_name,
     )
     out = out.reshape(nb, R, TB, K, 2, C)

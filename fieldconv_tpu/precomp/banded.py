@@ -30,8 +30,17 @@ from .edge_table import EdgeTable
 
 @dataclasses.dataclass
 class BandedTable:
-    rsten_band: jnp.ndarray   # (R, N, W')
-    fwxp_band: jnp.ndarray    # (K, 2, N, W')
+    """Block-major packed stencil: one contiguous (R+2K, TB, W') chunk per
+    target block, so each kernel grid step issues a single large DMA —
+    per-transfer overhead, not bandwidth, dominates this pipeline (measured:
+    ~19 strided ~200KB transfers/step ran at ~200GB/s effective vs ~2TB/s
+    for contiguous streams).
+
+    sten_band: (nb, R+2K, TB, W') float32.  Planes 0..R-1 hold the radial
+    interpolation weights; plane R+2k+p holds fwxp_k's re (p=0) / im (p=1).
+    """
+
+    sten_band: jnp.ndarray
     tb: int
     nh: int
     n_pad: int
@@ -46,12 +55,42 @@ class BandedTable:
     def k_width(self) -> int:
         return 2 * self.band_limit + 1
 
+    # --- unpacked views (tests / halo sharding helpers) -------------------
+
+    @property
+    def rsten_band(self):
+        """(R, N, W') view for tests."""
+        nb, P, TB, Wp = self.sten_band.shape
+        R = self.n_rings
+        a = self.sten_band[:, :R]                     # (nb, R, TB, W')
+        return jnp.moveaxis(a, 1, 0).reshape(R, nb * TB, Wp)
+
+    @property
+    def fwxp_band(self):
+        """(K, 2, N, W') view for tests."""
+        nb, P, TB, Wp = self.sten_band.shape
+        R, K = self.n_rings, self.k_width
+        a = self.sten_band[:, R:].reshape(nb, K, 2, TB, Wp)
+        return jnp.moveaxis(a, 0, 2).reshape(K, 2, nb * TB, Wp)
+
 
 jax.tree_util.register_dataclass(
     BandedTable,
-    data_fields=["rsten_band", "fwxp_band"],
+    data_fields=["sten_band"],
     meta_fields=["tb", "nh", "n_pad", "band_limit", "n_rings"],
 )
+
+
+def pack_sten_band(rb: np.ndarray, fb: np.ndarray, tb: int) -> np.ndarray:
+    """(R, N, W') + (K, 2, N, W') -> block-major (nb, R+2K, TB, W')."""
+    R, N, Wp = rb.shape
+    K = fb.shape[0]
+    nb = N // tb
+    out = np.empty((nb, R + 2 * K, tb, Wp), dtype=np.float32)
+    out[:, :R] = np.moveaxis(rb.reshape(R, nb, tb, Wp), 0, 1)
+    out[:, R:] = np.moveaxis(
+        fb.reshape(K * 2, nb, tb, Wp), 0, 1)
+    return out
 
 
 def rcm_order(supp_edges: np.ndarray, n_vertices: int) -> np.ndarray:
@@ -126,8 +165,7 @@ def build_banded_table(
     fb[:, :, tgt_idx, wp] = np.moveaxis(fwxp[tgt_idx, slot_idx], 0, -1)
 
     return BandedTable(
-        rsten_band=jnp.asarray(rb),
-        fwxp_band=jnp.asarray(fb),
+        sten_band=jnp.asarray(pack_sten_band(rb, fb, tb)),
         tb=tb, nh=nh, n_pad=N,
         band_limit=table.band_limit, n_rings=table.n_rings,
     )
@@ -136,19 +174,16 @@ def build_banded_table(
 @dataclasses.dataclass
 class CompressedBandedTable:
     """Bandwidth-limited stencil in *compressed* form: 5 planes instead of
-    R + 2K.  The kernel reconstructs the radial hats (piecewise-linear on
-    the sqrt-spaced ring knots, stencil.radial_interpolant) and the angular
-    factors e^{ikθ}·wxp (phasor powers) in VMEM — the fused hot loop is
-    memory-bound, so shipping ~3x fewer stencil bytes is a direct speedup.
+    R + 2K, block-major packed like BandedTable.  The kernel reconstructs
+    the radial hats (piecewise-linear on the sqrt-spaced ring knots,
+    stencil.radial_interpolant) and the angular factors e^{ikθ}·wxp (phasor
+    powers) in VMEM — ~3x smaller stencil memory footprint for large meshes.
 
-      r_band:   (N, W') normalised radius; empty slots hold R_SENTINEL.
-      ph_band:  (2, N, W') unit phasor e^{iθ} (re, im planes).
-      wxp_band: (2, N, W') transport·weight (re, im planes); 0 at empty slots.
+      sten_band: (nb, 5, TB, W') — planes (r, ph_re, ph_im, wxp_re, wxp_im);
+      empty slots hold R_SENTINEL in the r plane and 0 in wxp.
     """
 
-    r_band: jnp.ndarray
-    ph_band: jnp.ndarray
-    wxp_band: jnp.ndarray
+    sten_band: jnp.ndarray
     tb: int
     nh: int
     n_pad: int
@@ -169,7 +204,7 @@ R_SENTINEL = 9.0  # kills every radial hat (support ends at the virtual knot 2)
 
 jax.tree_util.register_dataclass(
     CompressedBandedTable,
-    data_fields=["r_band", "ph_band", "wxp_band"],
+    data_fields=["sten_band"],
     meta_fields=["tb", "nh", "n_pad", "band_limit", "n_rings"],
 )
 
@@ -212,17 +247,16 @@ def build_compressed_banded(
         ph = lv / np.maximum(rv, 1e-30)[:, None]
     ph[rv < 1e-30] = [1.0, 0.0]                      # θ=0 at r=0 edges
 
-    rb = np.full((N, Wp), R_SENTINEL, dtype=np.float32)
-    pb = np.zeros((2, N, Wp), dtype=np.float32)
-    wb = np.zeros((2, N, Wp), dtype=np.float32)
-    rb[tgt_idx, wp] = rv
-    pb[:, tgt_idx, wp] = ph.T
-    wb[:, tgt_idx, wp] = wxp[tgt_idx, slot_idx].T
+    planes = np.zeros((5, N, Wp), dtype=np.float32)
+    planes[0] = R_SENTINEL
+    planes[0, tgt_idx, wp] = rv
+    planes[1:3, tgt_idx, wp] = ph.T
+    planes[3:5, tgt_idx, wp] = wxp[tgt_idx, slot_idx].T
+    nb = N // tb
+    packed = np.moveaxis(planes.reshape(5, nb, tb, Wp), 0, 1)
 
     return CompressedBandedTable(
-        r_band=jnp.asarray(rb),
-        ph_band=jnp.asarray(pb),
-        wxp_band=jnp.asarray(wb),
+        sten_band=jnp.asarray(np.ascontiguousarray(packed)),
         tb=tb, nh=nh, n_pad=N,
         band_limit=table.band_limit, n_rings=table.n_rings,
     )

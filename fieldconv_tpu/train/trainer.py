@@ -71,8 +71,7 @@ def stack_batch(items, banded_tb: Optional[int] = None) -> MeshBatch:
         nh = max(b.nh for b in bs)
         bs = [_pad_banded(b, nh) for b in bs]
         banded = BandedTable(
-            rsten_band=jnp.stack([b.rsten_band for b in bs]),
-            fwxp_band=jnp.stack([b.fwxp_band for b in bs]),
+            sten_band=jnp.stack([b.sten_band for b in bs]),
             tb=banded_tb, nh=nh, n_pad=bs[0].n_pad,
             band_limit=t0.band_limit, n_rings=t0.n_rings,
         )
@@ -91,13 +90,10 @@ def _pad_banded(b: BandedTable, nh: int) -> BandedTable:
     import numpy as _np
 
     grow = (nh - b.nh) * b.tb
-    rs = _np.asarray(b.rsten_band)
-    fw = _np.asarray(b.fwxp_band)
-    pad_r = [(0, 0)] * (rs.ndim - 1) + [(grow, grow)]
-    pad_f = [(0, 0)] * (fw.ndim - 1) + [(grow, grow)]
+    st = _np.asarray(b.sten_band)
+    pad = [(0, 0)] * (st.ndim - 1) + [(grow, grow)]
     return BandedTable(
-        rsten_band=jnp.asarray(_np.pad(rs, pad_r)),
-        fwxp_band=jnp.asarray(_np.pad(fw, pad_f)),
+        sten_band=jnp.asarray(_np.pad(st, pad)),
         tb=b.tb, nh=nh, n_pad=b.n_pad,
         band_limit=b.band_limit, n_rings=b.n_rings,
     )

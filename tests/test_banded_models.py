@@ -35,7 +35,7 @@ def test_stack_batch_banded_and_vmap(rng):
         [(pos, table, np.int32(0)), (pos, table, np.int32(1))], banded_tb=8
     )
     assert batch.banded is not None
-    assert batch.banded.rsten_band.ndim == 4  # leading batch axis
+    assert batch.banded.sten_band.ndim == 5  # leading batch axis
 
     net = ClassificationNet(n_classes=5, nf=6, band_limit=g["B"], n_rings=g["R"])
     params = net.init(jax.random.key(0), jnp.asarray(pos), table)

@@ -22,9 +22,9 @@ def shard_banded(banded: BandedTable, n_dev: int):
     N = banded.n_pad
     per = N // n_dev
     for d in range(n_dev):
+        nb_per = per // banded.tb
         outs.append(BandedTable(
-            rsten_band=banded.rsten_band[:, d * per:(d + 1) * per],
-            fwxp_band=banded.fwxp_band[:, :, d * per:(d + 1) * per],
+            sten_band=banded.sten_band[d * nb_per:(d + 1) * nb_per],
             tb=banded.tb, nh=banded.nh, n_pad=per,
             band_limit=banded.band_limit, n_rings=banded.n_rings,
         ))
@@ -45,9 +45,9 @@ def test_halo_matches_single_device(rng):
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
 
-    def sharded_fn(gk, rsten, fwxp):
+    def sharded_fn(gk, sten):
         local = BandedTable(
-            rsten_band=rsten, fwxp_band=fwxp, tb=banded.tb, nh=banded.nh,
+            sten_band=sten, tb=banded.tb, nh=banded.nh,
             n_pad=gk.shape[0], band_limit=banded.band_limit,
             n_rings=banded.n_rings,
         )
@@ -56,11 +56,11 @@ def test_halo_matches_single_device(rng):
     fn = jax.jit(jax.shard_map(
         sharded_fn,
         mesh=mesh,
-        in_specs=(P("graph"), P(None, "graph"), P(None, None, "graph")),
+        in_specs=(P("graph"), P("graph")),
         out_specs=P("graph"),
         check_vma=False,
     ))
-    got = fn(gk, banded.rsten_band, banded.fwxp_band)
+    got = fn(gk, banded.sten_band)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
@@ -76,26 +76,26 @@ def test_halo_gradients_match(rng):
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
 
-    def sharded_loss(gk, rsten, fwxp):
+    def sharded_loss(gk, sten):
         local = BandedTable(
-            rsten_band=rsten, fwxp_band=fwxp, tb=banded.tb, nh=banded.nh,
+            sten_band=sten, tb=banded.tb, nh=banded.nh,
             n_pad=gk.shape[0], band_limit=banded.band_limit,
             n_rings=banded.n_rings,
         )
         out = halo_contrib(gk, local, "graph")
         return jax.lax.psum(jnp.sum(out ** 2), "graph")
 
-    def loss(gk, rsten, fwxp):
+    def loss(gk, sten):
         per_dev = jax.shard_map(
             sharded_loss, mesh=mesh,
-            in_specs=(P("graph"), P(None, "graph"), P(None, None, "graph")),
+            in_specs=(P("graph"), P("graph")),
             out_specs=P(),
             check_vma=False,
-        )(gk, rsten, fwxp)
+        )(gk, sten)
         return per_dev
 
     grad_sharded = jax.jit(jax.grad(loss))(
-        gk, banded.rsten_band, banded.fwxp_band
+        gk, banded.sten_band
     )
     np.testing.assert_allclose(
         np.asarray(grad_sharded), np.asarray(grad_ref), atol=5e-4, rtol=1e-3
@@ -123,9 +123,9 @@ def test_halo_fused_conv_matches_single_device(rng):
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
 
-    def sharded_fn(x, zr, sph, ph, rsten, fwxp):
+    def sharded_fn(x, zr, sph, ph, sten):
         local = BandedTable(
-            rsten_band=rsten, fwxp_band=fwxp, tb=banded.tb, nh=banded.nh,
+            sten_band=sten, tb=banded.tb, nh=banded.nh,
             n_pad=x.shape[0], band_limit=banded.band_limit,
             n_rings=banded.n_rings,
         )
@@ -134,17 +134,16 @@ def test_halo_fused_conv_matches_single_device(rng):
 
     smap = jax.shard_map(
         sharded_fn, mesh=mesh,
-        in_specs=(P("graph"), P(), P(), P(), P(None, "graph"),
-                  P(None, None, "graph")),
+        in_specs=(P("graph"), P(), P(), P(), P("graph")),
         out_specs=P("graph"),
         check_vma=False,
     )
-    got_y = jax.jit(smap)(x, zr, sph, ph, banded.rsten_band, banded.fwxp_band)
+    got_y = jax.jit(smap)(x, zr, sph, ph, banded.sten_band)
     np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                atol=2e-5)
 
     def sharded_loss(x, zr, sph, ph):
-        y = smap(x, zr, sph, ph, banded.rsten_band, banded.fwxp_band)
+        y = smap(x, zr, sph, ph, banded.sten_band)
         return jnp.sum(y ** 2 + y)
 
     got_g = jax.jit(jax.grad(sharded_loss, argnums=(0, 1, 2, 3)))(
