@@ -215,3 +215,27 @@ def test_compressed_matches_fused(rng):
     for a, b in zip(gc, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("ftype", [0, 2])
+def test_fused_ftypes(rng, ftype):
+    """The fused kernel's W-matrix packing covers all three filter types."""
+    g = banded_graph(rng)
+    table, banded = tables_for(g)
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(
+        np.stack([rng.normal(size=(N, C)), rng.normal(size=(N, C))], -1),
+        jnp.float32,
+    )
+    if ftype == 2:
+        zr = jnp.asarray(rng.normal(size=(O, C, R, 2)), jnp.float32)
+        sph = jnp.asarray(rng.normal(size=(O, C, R, 2 * B, 2)), jnp.float32)
+    else:
+        zr = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+        sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    y_ref = field_conv(x, table, zr, sph, ph, ftype, d_chunk=1024)
+    y_fused = field_conv_banded(x, banded, zr, sph, ph, ftype)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-5)
