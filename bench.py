@@ -37,9 +37,9 @@ def build_synthetic_tables(N=8192, D=128, B=2, R=6, seed=0, bandwidth=128):
     if 2 * bandwidth < D:
         raise ValueError("need 2*bandwidth >= D for unique neighbors")
     cand = np.arange(-bandwidth, bandwidth)
-    offs = np.stack([
-        rng.choice(cand, size=D, replace=False) for _ in range(N)
-    ])
+    # vectorised unique draws per row: first D of a random permutation
+    keys = rng.random((N, len(cand)))
+    offs = cand[np.argsort(keys, axis=1)[:, :D]]
     src = np.clip(base + offs, 0, N - 1).astype(np.int32)
     # clipping at the ends can re-introduce duplicates; remap those slots to
     # unused in-range values
@@ -117,6 +117,54 @@ def main():
     sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)) * 0.2, jnp.float32)
     phase = jnp.asarray(rng.normal(size=(O, C, B + 1)) * 0.2, jnp.float32)
     bias = jnp.zeros((O,), jnp.float32)
+
+    if impl == "model":
+        # full ClassificationNet train step through the banded path:
+        # 5 field convolutions (2 per ResNet block + conv_out) per step
+        import optax
+
+        from fieldconv_tpu.models import ClassificationNet
+        from fieldconv_tpu.nn.losses import cross_entropy
+
+        banded = jax.device_put(build_banded_table(table_np, tb=128))
+        table = jax.device_put(table_np)
+        pos = jnp.asarray(rng.normal(size=(N, 3)) * 0.1, jnp.float32)
+        label = jnp.zeros((1,), jnp.int32)
+        net = ClassificationNet(n_classes=30, nf=C, band_limit=B, n_rings=R)
+        params = jax.jit(net.init)(jax.random.key(0), pos, table)
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+        n_convs = 5
+
+        @jax.jit
+        def step(params, opt_state, pos):
+            def loss_fn(p):
+                logits = net.apply(p, pos, table, banded)
+                return cross_entropy(logits, label)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        params, opt_state, loss = step(params, opt_state, pos)
+        jax.block_until_ready(loss)
+        iters, reps = 10, 5
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                params, opt_state, loss = step(params, opt_state, pos)
+            jax.block_until_ready(loss)
+            times.append((time.perf_counter() - t0) / iters)
+        dt = sorted(times)[reps // 2]
+        edges_per_s = edges * n_convs / dt
+        print(json.dumps({
+            "metric": "classification_step_conv_edges_per_s",
+            "value": round(edges_per_s),
+            "unit": "edges/s",
+            "vs_baseline": 1.0,
+        }))
+        return
 
     if impl == "banded":
         precision = os.environ.get("BENCH_PRECISION", "f32")
