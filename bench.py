@@ -169,12 +169,16 @@ def main():
     if impl == "banded":
         precision = os.environ.get("BENCH_PRECISION", "f32")
         fuse = os.environ.get("BENCH_FUSE", "1") != "0"
-        banded = build_banded_table(table_np, tb=128)
+        gres_env = os.environ.get("BENCH_G_RESIDENT")  # "1"/"0"/unset=auto
+        gres = None if gres_env is None else gres_env != "0"
+        tb = int(os.environ.get("BENCH_TB", "128"))
+        banded = build_banded_table(table_np, tb=tb)
         banded = jax.device_put(banded)
 
         def fwd(x, zonal, sph, phase, bias):
             y = field_conv_banded(x, banded, zonal, sph, phase, 1,
-                                  precision=precision, fuse_filters=fuse)
+                                  precision=precision, fuse_filters=fuse,
+                                  g_resident=gres)
             return jnp.sum(soft_abs(modrelu(y, bias)))
     else:
         table = jax.device_put(table_np)

@@ -234,7 +234,25 @@ def filters_to_wmat(coeff):
     return (w / K).reshape(R, K * 2 * C, 2 * O)
 
 
-def _contrib_to_scratch(g_refs, sten_ref, scratch, *, R, K, C, TB, NJ,
+def _gj_from_refs(g_refs, C2):
+    """Slot accessor over per-shift block inputs (one DMA'd block per j)."""
+    def get(j, k):
+        return g_refs[j][:, k * C2:(k + 1) * C2]
+    return get
+
+
+def _gj_resident(g_ref, b, nh, nb, TB, C2):
+    """Slot accessor over the whole-array VMEM-resident g (constant index
+    map: fetched ONCE for the entire grid, then dynamically sliced).  Kills
+    the NJ per-step g block pipelines — the grid pipeline is per-transfer
+    -overhead-bound, not bandwidth-bound (docs/KERNEL_NOTES.md)."""
+    def get(j, k):
+        row0 = jnp.clip(b - nh + j, 0, nb - 1) * TB
+        return g_ref[pl.ds(row0, TB), k * C2:(k + 1) * C2]
+    return get
+
+
+def _contrib_to_scratch(get_gj, sten_ref, scratch, *, R, K, C, TB, NJ,
                         mxu_dtype):
     """Shared fwd contraction: write the block's contrib into VMEM scratch."""
     C2 = 2 * C
@@ -246,18 +264,14 @@ def _contrib_to_scratch(g_refs, sten_ref, scratch, *, R, K, C, TB, NJ,
             fre, fim = _f_planes(sten_ref, R, k, j, TB)
             s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
             s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
-            gj = g_refs[j][:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            gj = get_gj(j, k).astype(mxu_dtype)
             acc_a += jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
             acc_b += jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
         scratch[:, (2 * k) * C:(2 * k + 1) * C] = acc_a[:, :C] - acc_b[:, C:]
         scratch[:, (2 * k + 1) * C:(2 * k + 2) * C] = acc_a[:, C:] + acc_b[:, :C]
 
 
-def _fwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
-    g_refs = refs[:NJ]
-    sten_ref, w_ref, out_ref, scratch = refs[NJ:NJ + 4]
-    _contrib_to_scratch(g_refs, sten_ref, scratch,
-                        R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+def _apply_w(scratch, w_ref, out_ref, *, R, TB, O2, mxu_dtype):
     y = jnp.zeros((TB, O2), jnp.float32)
     for r in range(R):
         cr = scratch[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
@@ -266,12 +280,26 @@ def _fwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
     out_ref[:] = y
 
 
-def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
-    dy_ref = refs[0]
-    g_refs = refs[1:1 + NJ]
-    sten_ref, w_ref = refs[1 + NJ:3 + NJ]
-    part_ref, dw_ref = refs[3 + NJ:5 + NJ]
-    contrib, dcontrib = refs[5 + NJ:7 + NJ]
+def _fwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
+    g_refs = refs[:NJ]
+    sten_ref, w_ref, out_ref, scratch = refs[NJ:NJ + 4]
+    _contrib_to_scratch(_gj_from_refs(g_refs, 2 * C), sten_ref, scratch,
+                        R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+    _apply_w(scratch, w_ref, out_ref, R=R, TB=TB, O2=O2, mxu_dtype=mxu_dtype)
+
+
+def _fwd_fused_res_kernel(*refs, R, K, C, TB, NJ, O2, nb, nh,
+                          mxu_dtype=jnp.float32):
+    g_ref, sten_ref, w_ref, out_ref, scratch = refs
+    b = pl.program_id(0)
+    get_gj = _gj_resident(g_ref, b, nh, nb, TB, 2 * C)
+    _contrib_to_scratch(get_gj, sten_ref, scratch,
+                        R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+    _apply_w(scratch, w_ref, out_ref, R=R, TB=TB, O2=O2, mxu_dtype=mxu_dtype)
+
+
+def _bwd_fused_body(get_gj, dy_ref, sten_ref, w_ref, part_ref, dw_ref,
+                    contrib, dcontrib, *, R, K, C, TB, NJ, O2, mxu_dtype):
     C2 = 2 * C
 
     b = pl.program_id(0)
@@ -281,7 +309,7 @@ def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     # rematerialise the block's contrib for the dW product
-    _contrib_to_scratch(g_refs, sten_ref, contrib,
+    _contrib_to_scratch(get_gj, sten_ref, contrib,
                         R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
 
     dy = dy_ref[:].astype(mxu_dtype)                       # (TB, O2)
@@ -313,26 +341,78 @@ def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
                 p1[:, C:] - p2[:, :C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _band_fused(g, wmat, sten_band, tb, nh, n_rings, k_width, precision):
+def _bwd_fused_kernel(*refs, R, K, C, TB, NJ, O2, mxu_dtype=jnp.float32):
+    dy_ref = refs[0]
+    g_refs = refs[1:1 + NJ]
+    sten_ref, w_ref = refs[1 + NJ:3 + NJ]
+    part_ref, dw_ref = refs[3 + NJ:5 + NJ]
+    contrib, dcontrib = refs[5 + NJ:7 + NJ]
+    _bwd_fused_body(_gj_from_refs(g_refs, 2 * C), dy_ref, sten_ref, w_ref,
+                    part_ref, dw_ref, contrib, dcontrib,
+                    R=R, K=K, C=C, TB=TB, NJ=NJ, O2=O2, mxu_dtype=mxu_dtype)
+
+
+def _bwd_fused_res_kernel(*refs, R, K, C, TB, NJ, O2, nb, nh,
+                          mxu_dtype=jnp.float32):
+    dy_ref, g_ref, sten_ref, w_ref, part_ref, dw_ref, contrib, dcontrib = refs
+    b = pl.program_id(0)
+    get_gj = _gj_resident(g_ref, b, nh, nb, TB, 2 * C)
+    _bwd_fused_body(get_gj, dy_ref, sten_ref, w_ref,
+                    part_ref, dw_ref, contrib, dcontrib,
+                    R=R, K=K, C=C, TB=TB, NJ=NJ, O2=O2, mxu_dtype=mxu_dtype)
+
+
+# g arrays at or below this size may ride VMEM-resident through the fused
+# kernels (one fetch for the whole grid instead of NJ block DMAs per step);
+# the cap leaves room for the double-buffered stencil blocks + W + scratch
+# under the 100MB vmem budget.  Measured on one v5e chip the variant is a
+# wash (the stencil stream, ~6x the g traffic, dominates — see
+# docs/KERNEL_NOTES.md), so auto keeps the block-DMA path; the knob stays
+# for hardware where per-buffer pipeline overhead is costlier.
+G_RESIDENT_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _use_g_resident(g, override=None):
+    if override is not None:
+        return bool(override)
+    return False
+
+
+def _whole_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _band_fused(g, wmat, sten_band, tb, nh, n_rings, k_width, precision,
+                gres):
     return _band_fused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
-                                precision)
+                                precision, gres)
 
 
 def _band_fused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
-                         precision):
+                         precision, gres):
     N, M = g.shape
     R, K, TB = n_rings, k_width, tb
     NJ = 2 * nh + 1
     C = M // (2 * K)
     O2 = wmat.shape[-1]
     nb = N // TB
+    mxu = _mxu_dtype(precision)
+
+    if gres:
+        kern = functools.partial(_fwd_fused_res_kernel, R=R, K=K, C=C, TB=TB,
+                                 NJ=NJ, O2=O2, nb=nb, nh=nh, mxu_dtype=mxu)
+        g_specs, g_args = [_whole_spec((N, M))], (g,)
+    else:
+        kern = functools.partial(_fwd_fused_kernel, R=R, K=K, C=C, TB=TB,
+                                 NJ=NJ, O2=O2, mxu_dtype=mxu)
+        g_specs, g_args = _g_specs(nb, nh, TB, M), (g,) * NJ
 
     return pl.pallas_call(
-        functools.partial(_fwd_fused_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
-                          O2=O2, mxu_dtype=_mxu_dtype(precision)),
+        kern,
         grid=(nb,),
-        in_specs=_g_specs(nb, nh, TB, M) + [
+        in_specs=g_specs + [
             _sten_spec(R, K, TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -343,16 +423,17 @@ def _band_fused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
         scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*([g] * (2 * nh + 1)), sten_band, wmat)
+    )(*g_args, sten_band, wmat)
 
 
-def _band_fused_fwd(g, wmat, sten_band, tb, nh, n_rings, k_width, precision):
+def _band_fused_fwd(g, wmat, sten_band, tb, nh, n_rings, k_width, precision,
+                    gres):
     y = _band_fused_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
-                             precision)
+                             precision, gres)
     return y, (g, wmat, sten_band)
 
 
-def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
+def _band_fused_bwd(tb, nh, n_rings, k_width, precision, gres, res, dy):
     g, wmat, sten_band = res
     N, M = g.shape
     R, K, TB = n_rings, k_width, tb
@@ -360,15 +441,24 @@ def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
     C = M // (2 * K)
     O2 = wmat.shape[-1]
     nb = N // TB
+    mxu = _mxu_dtype(precision)
+
+    if gres:
+        kern = functools.partial(_bwd_fused_res_kernel, R=R, K=K, C=C, TB=TB,
+                                 NJ=NJ, O2=O2, nb=nb, nh=nh, mxu_dtype=mxu)
+        g_specs, g_args = [_whole_spec((N, M))], (g,)
+    else:
+        kern = functools.partial(_bwd_fused_kernel, R=R, K=K, C=C, TB=TB,
+                                 NJ=NJ, O2=O2, mxu_dtype=mxu)
+        g_specs, g_args = _g_specs(nb, nh, TB, M), (g,) * NJ
 
     parts, dw = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
-                          O2=O2, mxu_dtype=_mxu_dtype(precision)),
+        kern,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((TB, O2), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-        ] + _g_specs(nb, nh, TB, M) + [
+        ] + g_specs + [
             _sten_spec(R, K, TB, NJ),
             pl.BlockSpec((R, M, O2), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -390,7 +480,7 @@ def _band_fused_bwd(tb, nh, n_rings, k_width, precision, res, dy):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(dy, *([g] * NJ), sten_band, wmat)
+    )(dy, *g_args, sten_band, wmat)
 
     dg = _shift_combine(parts, nb, NJ, nh, TB, M)
     return dg, dw, jnp.zeros_like(sten_band)
@@ -667,13 +757,18 @@ def band_contrib(g, banded: BandedTable, precision: str = "f32"):
 
 
 def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
-                      precision: str = "f32", fuse_filters: bool = True):
+                      precision: str = "f32", fuse_filters: bool = True,
+                      g_resident: bool | None = None):
     """Full field convolution over the banded layout: (N, C, 2) -> (N, O, 2).
 
     banded: BandedTable (dense packed stencil) or CompressedBandedTable.
     fuse_filters=True (default) applies the filter contraction inside the
     kernel — the contrib tensor never touches HBM.  The unfused path is
-    kept for A/B benchmarking (BENCH_FUSE=0)."""
+    kept for A/B benchmarking (BENCH_FUSE=0).
+
+    g_resident: keep the whole rotated-source tensor g VMEM-resident across
+    the grid (one fetch total instead of NJ block DMAs per step).  None =
+    auto (on when g fits G_RESIDENT_MAX_BYTES)."""
     from ..field_conv import apply_filters, filter_coefficients
 
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
@@ -693,6 +788,7 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
         y2 = _band_fused(
             g, wmat, banded.sten_band,
             banded.tb, banded.nh, banded.n_rings, banded.k_width, precision,
+            _use_g_resident(g, g_resident),
         )
         O = wmat.shape[-1] // 2
         return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)

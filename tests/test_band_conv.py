@@ -217,6 +217,37 @@ def test_compressed_matches_fused(rng):
                                    atol=3e-4, rtol=1e-3)
 
 
+def test_g_resident_matches_block_dma(rng):
+    """VMEM-resident g (whole-array constant-index-map fetch + in-kernel
+    dynamic slices) == the NJ-block-DMA path, values and all grads."""
+    g = banded_graph(rng)
+    table, banded = tables_for(g)
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(
+        np.stack([rng.normal(size=(N, C)), rng.normal(size=(N, C))], -1),
+        jnp.float32,
+    )
+    zr = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    y_res = field_conv_banded(x, banded, zr, sph, ph, 1, g_resident=True)
+    y_blk = field_conv_banded(x, banded, zr, sph, ph, 1, g_resident=False)
+    np.testing.assert_allclose(np.asarray(y_res), np.asarray(y_blk),
+                               atol=1e-6)
+
+    def loss(gres):
+        def f(x, zr, sph, ph):
+            y = field_conv_banded(x, banded, zr, sph, ph, 1, g_resident=gres)
+            return jnp.sum(y ** 2 + y)
+        return f
+
+    ga = jax.grad(loss(True), argnums=(0, 1, 2, 3))(x, zr, sph, ph)
+    gb = jax.grad(loss(False), argnums=(0, 1, 2, 3))(x, zr, sph, ph)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 @pytest.mark.parametrize("ftype", [0, 2])
 def test_fused_ftypes(rng, ftype):
     """The fused kernel's W-matrix packing covers all three filter types."""
