@@ -136,8 +136,11 @@ def main():
         opt_state = opt.init(params)
         n_convs = 5
 
+        # tables ride as jit ARGUMENTS: closed-over device arrays are inlined
+        # as stablehlo constants, bloating the module past the remote-compile
+        # request limit (and the compiler's constant budget) at production N
         @jax.jit
-        def step(params, opt_state, pos):
+        def step(params, opt_state, pos, table, banded):
             def loss_fn(p):
                 logits = net.apply(p, pos, table, banded)
                 return cross_entropy(logits, label)
@@ -146,15 +149,16 @@ def main():
             updates, opt_state2 = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state2, loss
 
-        params, opt_state, loss = step(params, opt_state, pos)
-        jax.block_until_ready(loss)
+        params, opt_state, loss = step(params, opt_state, pos, table, banded)
+        float(loss)   # scalar readback: the reliable tunnel barrier
         iters, reps = 10, 5
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(iters):
-                params, opt_state, loss = step(params, opt_state, pos)
-            jax.block_until_ready(loss)
+                params, opt_state, loss = step(params, opt_state, pos,
+                                               table, banded)
+            float(loss)
             times.append((time.perf_counter() - t0) / iters)
         dt = sorted(times)[reps // 2]
         edges_per_s = edges * n_convs / dt
@@ -175,22 +179,40 @@ def main():
         banded = build_banded_table(table_np, tb=tb)
         banded = jax.device_put(banded)
 
-        def fwd(x, zonal, sph, phase, bias):
+        # NOTE: the stencil table rides as a jit ARGUMENT (closures inline
+        # device arrays as stablehlo constants — module-size blowup)
+        def fwd(x, zonal, sph, phase, bias, banded):
             y = field_conv_banded(x, banded, zonal, sph, phase, 1,
                                   precision=precision, fuse_filters=fuse,
                                   g_resident=gres)
             return jnp.sum(soft_abs(modrelu(y, bias)))
+
+        tbl_arg = banded
     else:
         table = jax.device_put(table_np)
         d_chunk = int(os.environ.get("BENCH_D_CHUNK", "32"))
 
-        def fwd(x, zonal, sph, phase, bias):
+        def fwd(x, zonal, sph, phase, bias, table):
             y = field_conv(x, table, zonal, sph, phase, 1, d_chunk=d_chunk)
             return jnp.sum(soft_abs(modrelu(y, bias)))
 
-    step = jax.jit(jax.grad(fwd, argnums=(0, 1, 2, 3, 4)))
-    out = step(x, zonal, sph, phase, bias)
-    jax.block_until_ready(out)
+        tbl_arg = table
+
+    # Chain iterations through dG (renormalised) so every call has fresh
+    # inputs — identical repeated calls through the axon tunnel get deduped
+    # and report physically impossible throughput (docs/KERNEL_NOTES.md)
+    @jax.jit
+    def step(x, zonal, sph, phase, bias, tbl):
+        out = jax.grad(fwd, argnums=(0, 1, 2, 3, 4))(
+            x, zonal, sph, phase, bias, tbl)
+        dx = out[0]
+        xn = dx * jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-8) * 0.5
+        return xn, jnp.sum(dx)
+
+    # a scalar READBACK is the only reliable completion barrier through the
+    # axon tunnel (block_until_ready can return before remote execution)
+    x, chk = step(x, zonal, sph, phase, bias, tbl_arg)
+    float(chk)
 
     # median over repeats — the shared chip shows ±20% run-to-run noise
     iters, reps = 20, 5
@@ -198,8 +220,8 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = step(x, zonal, sph, phase, bias)
-        jax.block_until_ready(out)
+            x, chk = step(x, zonal, sph, phase, bias, tbl_arg)
+        float(chk)
         times.append((time.perf_counter() - t0) / iters)
     dt = sorted(times)[reps // 2]
     edges_per_s = edges / dt
