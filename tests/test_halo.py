@@ -102,6 +102,58 @@ def test_halo_gradients_match(rng):
     )
 
 
+def test_halo_overlap_matches_serial(rng):
+    """Overlapped (interior/boundary split) halo conv == serial halo conv,
+    values and grads, over 4 devices."""
+    n_dev = 4
+    g = banded_graph(rng, n_vertices=128, tb=8, bw=7)
+    table, banded = tables_for(g, tb=8)
+    N, C, O, B, R = table.n_pad, 3, 5, g["B"], g["R"]
+    x = jnp.asarray(rng.normal(size=(N, C, 2)), jnp.float32)
+    zr = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
+
+    def make(overlap):
+        def sharded_fn(x, zr, sph, ph, sten):
+            local = BandedTable(
+                sten_band=sten, tb=banded.tb, nh=banded.nh,
+                n_pad=x.shape[0], band_limit=banded.band_limit,
+                n_rings=banded.n_rings,
+            )
+            gk = rotated_source_tensor_kmajor(x, banded.band_limit)
+            return halo_field_conv(gk, local, zr, sph, ph, 1, "graph",
+                                   overlap=overlap)
+
+        return jax.shard_map(
+            sharded_fn, mesh=mesh,
+            in_specs=(P("graph"), P(), P(), P(), P("graph")),
+            out_specs=P("graph"),
+            check_vma=False,
+        )
+
+    f_ser, f_ovl = make(False), make(True)
+    y_ser = jax.jit(f_ser)(x, zr, sph, ph, banded.sten_band)
+    y_ovl = jax.jit(f_ovl)(x, zr, sph, ph, banded.sten_band)
+    np.testing.assert_allclose(np.asarray(y_ovl), np.asarray(y_ser),
+                               atol=1e-6)
+
+    def loss(f):
+        def l(x, zr, sph, ph):
+            y = f(x, zr, sph, ph, banded.sten_band)
+            return jnp.sum(y ** 2 + y)
+        return l
+
+    g_ser = jax.jit(jax.grad(loss(f_ser), argnums=(0, 1, 2, 3)))(
+        x, zr, sph, ph)
+    g_ovl = jax.jit(jax.grad(loss(f_ovl), argnums=(0, 1, 2, 3)))(
+        x, zr, sph, ph)
+    for a, b in zip(g_ovl, g_ser):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_halo_fused_conv_matches_single_device(rng):
     """Fused sharded full conv (values + grads wrt x and all filter params)
     == single-device fused path."""
