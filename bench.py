@@ -118,6 +118,55 @@ def main():
     phase = jnp.asarray(rng.normal(size=(O, C, B + 1)) * 0.2, jnp.float32)
     bias = jnp.zeros((O,), jnp.float32)
 
+    if impl == "segmodel":
+        # full SegmentationNet train step (ECHO-dominated; 9 convs + ECHO):
+        # reports milliseconds per step at SHAPESEG-like scale
+        import optax
+
+        from fieldconv_tpu.models import SegmentationNet
+        from fieldconv_tpu.nn.losses import label_smoothing_loss
+
+        Nseg = int(os.environ.get("BENCH_N", "2048"))
+        table_np = build_synthetic_tables(N=Nseg, D=D, B=B, R=R)
+        banded = jax.device_put(build_banded_table(table_np, tb=128))
+        table = jax.device_put(table_np)
+        pos = jnp.asarray(rng.normal(size=(Nseg, 3)) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 8, Nseg), jnp.int32)
+        net = SegmentationNet(n_classes=8, nf=48, band_limit=B, n_rings=R)
+        params = jax.jit(net.init)(jax.random.key(0), pos, table)
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, pos, table, banded):
+            def loss_fn(p):
+                logits = net.apply(p, pos, table, banded)
+                return label_smoothing_loss(logits, labels, 8, 0.2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        params, opt_state, loss = step(params, opt_state, pos, table, banded)
+        float(loss)
+        iters, reps = 10, 5
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                params, opt_state, loss = step(params, opt_state, pos,
+                                               table, banded)
+            float(loss)
+            times.append((time.perf_counter() - t0) / iters)
+        dt = sorted(times)[reps // 2]
+        print(json.dumps({
+            "metric": "segmentation_step_ms",
+            "value": round(dt * 1e3, 2),
+            "unit": "ms",
+            "vs_baseline": 1.0,
+        }))
+        return
+
     if impl == "model":
         # full ClassificationNet train step through the banded path:
         # 5 field convolutions (2 per ResNet block + conv_out) per step

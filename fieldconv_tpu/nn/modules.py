@@ -173,7 +173,10 @@ class ECHO(lnn.Module):
 
     channels: int
     n_bins: int = 2
-    d_chunk: int = 32
+    # single-pass over the slot axis by default: on TPU the one-hot splat's
+    # contraction wants the full D=128 depth (3-10x faster than chunked;
+    # chunk only when the (N, D, C, w) intermediates would not fit HBM)
+    d_chunk: int = 128
 
     def __call__(self, x, table: EdgeTable):
         return echo_ops.echo(x, table, self.n_bins, d_chunk=self.d_chunk)
@@ -216,7 +219,7 @@ class ECHOBlock(lnn.Module):
         # shipped config n_des defaults or equals usage widths consistently —
         # we size the bias by the tensor it is applied to.
         h = TangentNonLin(n_des, name="nonlin")(h)
-        h = ECHO(n_des, self.n_bins, name="echo")(h, table)
+        h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk, name="echo")(h, table)
         h = h.reshape(h.shape[0], -1)
         mid = n_des * echo_ops.hist_dim(self.n_bins)
         h = lnn.relu(Linear(mid, 128, name="lin1")(h))

@@ -47,11 +47,22 @@ def hist_dim(n_bins: int) -> int:
     return disk_map(n_bins)[1]
 
 
-def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 32):
+def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 128,
+         method: str = "onehot"):
     """Compute ECHO descriptors.
 
     x: (N, C, 2) planar tangent features.
     Returns (N, C, dS) real descriptor magnitudes.
+
+    method:
+      "onehot" (default) — separable one-hot factorisation of the bilinear
+        splat: bin index u = w·α + β factors over the two log-map axes, so
+        the 4-corner accumulation collapses to TWO 3-operand einsums per
+        chunk contracting over the slot axis, each reading the vote tensor
+        once.  ~10x less HBM traffic than "masked" (which re-reads the
+        votes once per bin), then a tiny static (w², dS) fold applies the
+        disk map.
+      "masked" — per-bin masked reductions (4·dS passes); kept for A/B.
     """
     N, C = x.shape[0], x.shape[1]
     D = table.d_slots
@@ -59,6 +70,11 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 32):
     w = 2 * nb + 1
     dmap_np, dS = disk_map(nb)
     dmap = jnp.asarray(dmap_np)
+    # grid-cell -> compact-bin fold matrix (outside-disk cells land in bin 0,
+    # reproducing the reference's zero-initialised map quirk)
+    fold_np = np.zeros((w * w, dS), dtype=np.float32)
+    fold_np[np.arange(w * w), dmap_np] = 1.0
+    fold = jnp.asarray(fold_np)
 
     # Per-source unit feature direction e^{iφ} and origin mask (echo.py:123,130).
     # soft_unit is the transcendental-free e^{iφ} (= x/|x|); it returns 0 at
@@ -67,8 +83,7 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 32):
     unit_conj = cconj(soft_unit(x))         # (N, C, 2)
     nonzero = jnp.logical_not(is_origin(x)) # (N, C)
 
-    def chunk_hist(src_c, ln_c, wxp_c, mask_c):
-        DB = src_c.shape[1]
+    def chunk_common(src_c, ln_c, wxp_c, mask_c):
         xs = x[src_c]                                        # (N, DB, C, 2)
         units = unit_conj[src_c]                             # (N, DB, C, 2)
         valid = nonzero[src_c] & (mask_c[..., None] > 0)     # (N, DB, C)
@@ -86,14 +101,19 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 32):
         w1 = (p[..., 0] - pFf[..., 0]) * (p[..., 1] - pFf[..., 1])
         w2 = (p[..., 0] - pFf[..., 0]) * (pCf[..., 1] - p[..., 1])
         w3 = (pCf[..., 0] - p[..., 0]) * (p[..., 1] - pFf[..., 1])
-        i0 = dmap[w * (pF[..., 0] + nb) + (pF[..., 1] + nb)]
-        i1 = dmap[w * (pC[..., 0] + nb) + (pC[..., 1] + nb)]
-        i2 = dmap[w * (pC[..., 0] + nb) + (pF[..., 1] + nb)]
-        i3 = dmap[w * (pF[..., 0] + nb) + (pC[..., 1] + nb)]
 
         # Votes: feature · (w_norm · transport), masked (echo.py:136)
         xw = cmul(xs, wxp_c[:, :, None, :])
         xw = jnp.where(valid[..., None], xw, 0.0)
+        return xw, (w0, w1, w2, w3), pF, pC
+
+    def chunk_hist_masked(src_c, ln_c, wxp_c, mask_c):
+        xw, (w0, w1, w2, w3), pF, pC = chunk_common(src_c, ln_c, wxp_c,
+                                                    mask_c)
+        i0 = dmap[w * (pF[..., 0] + nb) + (pF[..., 1] + nb)]
+        i1 = dmap[w * (pC[..., 0] + nb) + (pC[..., 1] + nb)]
+        i2 = dmap[w * (pC[..., 0] + nb) + (pF[..., 1] + nb)]
+        i3 = dmap[w * (pF[..., 0] + nb) + (pC[..., 1] + nb)]
 
         # Bin accumulation (echo.py:139-148).  XLA scatter on TPU serialises
         # badly (25M updates ≈ seconds); instead reduce per static bin with
@@ -111,6 +131,34 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 32):
                 )
             per_s.append(acc)
         return jnp.stack(per_s, axis=2).reshape(N * C * dS, 2)
+
+    def chunk_hist_onehot(src_c, ln_c, wxp_c, mask_c):
+        xw, (w0, w1, w2, w3), pF, pC = chunk_common(src_c, ln_c, wxp_c,
+                                                    mask_c)
+        # The grid cell u = w·α + β is separable: α from the first log-map
+        # axis, β from the second; corners use (F,F), (C,C), (C,F), (F,C).
+        # Grouping by the α factor, the 4-corner splat is two rank-1 splats:
+        #   A_F ⊗ (w0·B_F + w3·B_C)  +  A_C ⊗ (w2·B_F + w1·B_C)
+        # so the whole accumulation is two einsums contracting the slot
+        # axis, each reading the votes exactly once.
+        iw = jnp.arange(w, dtype=jnp.int32)
+        A_F = (pF[..., 0:1] + nb == iw).astype(x.dtype)      # (N, DB, C, w)
+        A_C = (pC[..., 0:1] + nb == iw).astype(x.dtype)
+        B_F = (pF[..., 1:2] + nb == iw).astype(x.dtype)
+        B_C = (pC[..., 1:2] + nb == iw).astype(x.dtype)
+        BF0 = w0[..., None] * B_F + w3[..., None] * B_C
+        BC1 = w2[..., None] * B_F + w1[..., None] * B_C
+        grid = jnp.einsum("ndcp,ndca,ndcb->ncpab", xw, A_F, BF0,
+                          preferred_element_type=jnp.float32)
+        grid = grid + jnp.einsum("ndcp,ndca,ndcb->ncpab", xw, A_C, BC1,
+                                 preferred_element_type=jnp.float32)
+        # fold the w×w grid through the disk map (static (w², dS) matmul)
+        hist = jnp.einsum("ncpu,us->ncps", grid.reshape(N, C, 2, w * w),
+                          fold, preferred_element_type=jnp.float32)
+        return jnp.moveaxis(hist, 2, 3).reshape(N * C * dS, 2)
+
+    chunk_hist = (chunk_hist_onehot if method == "onehot"
+                  else chunk_hist_masked)
 
     if d_chunk >= D:
         hist = chunk_hist(table.src, table.ln, table.wxp, table.mask)
