@@ -160,6 +160,8 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 128,
     chunk_hist = (chunk_hist_onehot if method == "onehot"
                   else chunk_hist_masked)
 
+    if method == "banded":
+        raise ValueError("pass a CompressedBandedTable to echo_banded instead")
     if d_chunk >= D:
         hist = chunk_hist(table.src, table.ln, table.wxp, table.mask)
     else:
@@ -181,3 +183,91 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 128,
         )
 
     return soft_abs(hist.reshape(N, C, dS, 2))
+
+
+def echo_banded(x, comp, n_bins: int, block_chunk: int = 4):
+    """Gather-free ECHO over the banded slot layout (CompressedBandedTable).
+
+    Semantically identical to `echo` (reference nn/echo.py:65-148) but the
+    per-slot source features are obtained by windowing x with padded block
+    shifts — pure slices, whose transpose is again slicing, so the backward
+    contains NO scatter (the XLA path's backward is dominated by the
+    scatter-add transpose of its x[src] gather; see docs/KERNEL_NOTES.md).
+    The W' slot axis replaces the CSR slot axis in the separable one-hot
+    splat; empty band slots carry wxp=0 so their votes vanish.
+
+    comp: precomp.banded.CompressedBandedTable (planes r, e^{iθ}, wxp).
+    x: (N, C, 2) with N == comp.n_pad.  Returns (N, C, dS).
+    """
+    sten = comp.sten_band                       # (nb, 5, TB, W')
+    nb_, _, TB, Wp = sten.shape
+    nh = comp.nh
+    NJ = 2 * nh + 1
+    N, C = x.shape[0], x.shape[1]
+    nbins = n_bins
+    w = 2 * nbins + 1
+    dmap_np, dS = disk_map(nbins)
+    fold_np = np.zeros((w * w, dS), dtype=np.float32)
+    fold_np[np.arange(w * w), dmap_np] = 1.0
+    fold = jnp.asarray(fold_np)
+
+    unit_conj = cconj(soft_unit(x))             # (N, C, 2)
+    nonzero = jnp.logical_not(is_origin(x))     # (N, C)
+
+    def window(a):
+        """(N, ...) -> (nb, W', ...): win[b, j·TB+s] = a[(b-nh+j)·TB+s]."""
+        ab = a.reshape(nb_, TB, *a.shape[1:])
+        pad = [(nh, nh)] + [(0, 0)] * a.ndim
+        ap = jnp.pad(ab, pad)
+        return jnp.concatenate([ap[j:j + nb_] for j in range(NJ)], axis=1)
+
+    xs_w = window(x)                            # (nb, W', C, 2)
+    un_w = window(unit_conj)                    # (nb, W', C, 2)
+    nz_w = window(nonzero)                      # (nb, W', C)
+
+    r = sten[:, 0]                                           # (nb, TB, W')
+    ln = jnp.stack([r * sten[:, 1], r * sten[:, 2]], -1)     # (nb, TB, W', 2)
+    wxp = jnp.stack([sten[:, 3], sten[:, 4]], -1)            # (nb, TB, W', 2)
+
+    def blocks_hist(ln_b, wxp_b, xs, us, nz):
+        # ln_b/wxp_b (cb, TB, W', 2); xs/us (cb, W', C, 2); nz (cb, W', C)
+        aligned = cmul(ln_b[:, :, :, None, :], us[:, None])  # (cb,TB,W',C,2)
+        p = aligned * nbins
+        pC = jnp.clip(jnp.ceil(p), -nbins, nbins).astype(jnp.int32)
+        pF = jnp.clip(jnp.floor(p), -nbins, nbins).astype(jnp.int32)
+        pCf, pFf = pC.astype(p.dtype), pF.astype(p.dtype)
+        w0 = (pCf[..., 0] - p[..., 0]) * (pCf[..., 1] - p[..., 1])
+        w1 = (p[..., 0] - pFf[..., 0]) * (p[..., 1] - pFf[..., 1])
+        w2 = (p[..., 0] - pFf[..., 0]) * (pCf[..., 1] - p[..., 1])
+        w3 = (pCf[..., 0] - p[..., 0]) * (p[..., 1] - pFf[..., 1])
+
+        votes = cmul(xs[:, None], wxp_b[:, :, :, None, :])   # (cb,TB,W',C,2)
+        votes = jnp.where(nz[:, None, ..., None], votes, 0.0)
+
+        iw = jnp.arange(w, dtype=jnp.int32)
+        A_F = (pF[..., 0:1] + nbins == iw).astype(x.dtype)   # (cb,TB,W',C,w)
+        A_C = (pC[..., 0:1] + nbins == iw).astype(x.dtype)
+        B_F = (pF[..., 1:2] + nbins == iw).astype(x.dtype)
+        B_C = (pC[..., 1:2] + nbins == iw).astype(x.dtype)
+        BF0 = w0[..., None] * B_F + w3[..., None] * B_C
+        BC1 = w2[..., None] * B_F + w1[..., None] * B_C
+        grid = jnp.einsum("ztwcp,ztwca,ztwcb->ztcpab", votes, A_F, BF0,
+                          preferred_element_type=jnp.float32)
+        grid = grid + jnp.einsum("ztwcp,ztwca,ztwcb->ztcpab", votes, A_C,
+                                 BC1, preferred_element_type=jnp.float32)
+        cb = grid.shape[0]
+        hist = jnp.einsum(
+            "ztcpu,us->ztcps", grid.reshape(cb, TB, C, 2, w * w), fold,
+            preferred_element_type=jnp.float32)
+        return hist                                          # (cb,TB,C,2,dS)
+
+    if nb_ % block_chunk:
+        block_chunk = 1
+    nchunks = nb_ // block_chunk
+    csplit = lambda a: a.reshape(nchunks, block_chunk, *a.shape[1:])
+    hist = jax.lax.map(
+        lambda args: blocks_hist(*args),
+        (csplit(ln), csplit(wxp), csplit(xs_w), csplit(un_w), csplit(nz_w)),
+    )                                            # (nchunks, cb, TB, C, 2, dS)
+    hist = hist.reshape(N, C, 2, dS)
+    return soft_abs(jnp.moveaxis(hist, 2, 3))
