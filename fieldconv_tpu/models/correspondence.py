@@ -22,7 +22,8 @@ class CorrespondenceNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable, banded=None, *, deterministic: bool = True):
+    def __call__(self, pos, table: EdgeTable, banded=None, comp=None, *,
+                 deterministic: bool = True):
         B, nf = self.band_limit, self.nf
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
@@ -48,7 +49,7 @@ class CorrespondenceNet(lnn.Module):
 
         x = ECHOBlock(
             16, nf, n_des=self.n_des, n_bins=self.n_bins, name="echo", **kw
-        )(x, table, banded)
+        )(x, table, banded, comp)
         x = lnn.relu(Linear(nf, 256, name="lin1")(x))
         x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)
         return Linear(256, self.n_classes, name="lin2")(x)

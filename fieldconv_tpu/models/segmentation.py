@@ -21,7 +21,7 @@ class SegmentationNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable, banded=None):
+    def __call__(self, pos, table: EdgeTable, banded=None, comp=None):
         B = self.band_limit
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
@@ -36,4 +36,4 @@ class SegmentationNet(lnn.Module):
         return ECHOBlock(
             self.nf, self.n_classes, n_des=self.n_des, n_bins=self.n_bins,
             name="echo", **kw,
-        )(x, table, banded)
+        )(x, table, banded, comp)

@@ -178,7 +178,15 @@ class ECHO(lnn.Module):
     # chunk only when the (N, D, C, w) intermediates would not fit HBM)
     d_chunk: int = 128
 
-    def __call__(self, x, table: EdgeTable):
+    def __call__(self, x, table: EdgeTable, comp=None):
+        if comp is not None:
+            # gather-free banded path (ops/echo.py::echo_banded): the backward
+            # of the XLA path's x[src] gather is a scatter-add that dominates
+            # the op on TPU (docs/KERNEL_NOTES.md); windowing by block shifts
+            # has a slice-only transpose.  Wins when C is small (the band
+            # layout processes (2nh+1)x the slots): correspondence yes,
+            # segmentation (C=48) no — measured in KERNEL_NOTES.md.
+            return echo_ops.echo_banded(x, comp, self.n_bins)
         return echo_ops.echo(x, table, self.n_bins, d_chunk=self.d_chunk)
 
 
@@ -208,7 +216,7 @@ class ECHOBlock(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, x, table: EdgeTable, banded=None):
+    def __call__(self, x, table: EdgeTable, banded=None, comp=None):
         n_des = self.in_channels if self.n_des is None else self.n_des
         h = FieldConv(
             self.in_channels, n_des, self.band_limit, self.n_rings, self.ftype,
@@ -219,7 +227,8 @@ class ECHOBlock(lnn.Module):
         # shipped config n_des defaults or equals usage widths consistently —
         # we size the bias by the tensor it is applied to.
         h = TangentNonLin(n_des, name="nonlin")(h)
-        h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk, name="echo")(h, table)
+        h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk, name="echo")(
+            h, table, comp)
         h = h.reshape(h.shape[0], -1)
         mid = n_des * echo_ops.hist_dim(self.n_bins)
         h = lnn.relu(Linear(mid, 128, name="lin1")(h))

@@ -40,6 +40,10 @@ class ExperimentConfig:
     random_rotate_deg: float = 45.0
     # runtime
     d_chunk: int = 128
+    # ECHO implementation: "onehot" (XLA separable splat) or "banded"
+    # (gather-free block-window path; wins when n_des is small — measured
+    # trade-off in docs/KERNEL_NOTES.md).  "banded" requires banded_tb.
+    echo_impl: str = "onehot"
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 5
 
@@ -57,7 +61,7 @@ SEGMENTATION = ExperimentConfig(
 CORRESPONDENCE = ExperimentConfig(
     task="correspondence", band_limit=1, n_rings=3, nf=32, epsilon=0.0425,
     n_des=12, n_bins=2, lr=0.01, lr_decay_epoch=40, lr_decayed=0.001,
-    epochs=60, random_scale=None,
+    epochs=60, random_scale=None, echo_impl="banded",
 )   # correspondence.ipynb cells 3, 10, 15
 
 MATCHING = ExperimentConfig(

@@ -64,7 +64,11 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
             table = r.table(config.band_limit, config.n_rings,
                             n_pad=n_pad, d_slots=d_slots)
             items.append((r.padded_pos(n_pad), table, r.padded_labels(n_pad)))
-        batches.append(stack_batch(items, banded_tb=banded_tb))
+        use_banded_echo = (config.echo_impl == "banded"
+                           and banded_tb is not None
+                           and config.task in ("segmentation", "correspondence"))
+        batches.append(stack_batch(items, banded_tb=banded_tb,
+                                   echo_banded=use_banded_echo))
     return batches
 
 

@@ -19,7 +19,13 @@ import jax.numpy as jnp
 import optax
 
 from ..nn import losses
-from ..precomp.banded import BandedTable, build_banded_table
+from ..precomp.banded import (
+    R_SENTINEL,
+    BandedTable,
+    CompressedBandedTable,
+    build_banded_table,
+    build_compressed_banded,
+)
 from ..precomp.edge_table import EdgeTable
 from .config import ExperimentConfig
 
@@ -38,18 +44,23 @@ class MeshBatch:
     table: EdgeTable
     labels: jnp.ndarray
     banded: Optional[BandedTable] = None
+    comp: Optional[CompressedBandedTable] = None
 
 
 jax.tree_util.register_dataclass(
-    MeshBatch, data_fields=["pos", "table", "labels", "banded"], meta_fields=[]
+    MeshBatch, data_fields=["pos", "table", "labels", "banded", "comp"],
+    meta_fields=[],
 )
 
 
-def stack_batch(items, banded_tb: Optional[int] = None) -> MeshBatch:
+def stack_batch(items, banded_tb: Optional[int] = None,
+                echo_banded: bool = False) -> MeshBatch:
     """Stack (pos, table, label) triples sharing bucket shapes.
 
     banded_tb: when set, also build + stack BandedTables (Pallas conv path)
     with that target-block size.
+    echo_banded: when set (requires banded_tb), also build the compressed
+    banded tables driving the gather-free ECHO path (ops/echo.py::echo_banded).
     """
     poss, tables, labels = zip(*items)
     t0 = tables[0]
@@ -75,11 +86,24 @@ def stack_batch(items, banded_tb: Optional[int] = None) -> MeshBatch:
             tb=banded_tb, nh=nh, n_pad=bs[0].n_pad,
             band_limit=t0.band_limit, n_rings=t0.n_rings,
         )
+    comp = None
+    if echo_banded:
+        if banded_tb is None:
+            raise ValueError("echo_banded requires banded_tb")
+        cs = [build_compressed_banded(t, tb=banded_tb) for t in tables]
+        nh = max(c.nh for c in cs)
+        cs = [_pad_comp(c, nh) for c in cs]
+        comp = CompressedBandedTable(
+            sten_band=jnp.stack([c.sten_band for c in cs]),
+            tb=banded_tb, nh=nh, n_pad=cs[0].n_pad,
+            band_limit=t0.band_limit, n_rings=t0.n_rings,
+        )
     return MeshBatch(
         pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
         table=stacked,
         labels=jnp.stack([jnp.asarray(l) for l in labels]),
         banded=banded,
+        comp=comp,
     )
 
 
@@ -96,6 +120,28 @@ def _pad_banded(b: BandedTable, nh: int) -> BandedTable:
         sten_band=jnp.asarray(_np.pad(st, pad)),
         tb=b.tb, nh=nh, n_pad=b.n_pad,
         band_limit=b.band_limit, n_rings=b.n_rings,
+    )
+
+
+def _pad_comp(c: CompressedBandedTable, nh: int) -> CompressedBandedTable:
+    """Widen a compressed banded table to a larger half-window.
+
+    Padded slots get R_SENTINEL in the r plane (kills radial hats) and 0 in
+    the phasor/wxp planes (kills votes)."""
+    if c.nh == nh:
+        return c
+    import numpy as _np
+
+    grow = (nh - c.nh) * c.tb
+    st = _np.asarray(c.sten_band)
+    pad = [(0, 0)] * (st.ndim - 1) + [(grow, grow)]
+    out = _np.pad(st, pad)
+    out[:, 0, :, :grow] = R_SENTINEL
+    out[:, 0, :, -grow:] = R_SENTINEL
+    return CompressedBandedTable(
+        sten_band=jnp.asarray(out),
+        tb=c.tb, nh=nh, n_pad=c.n_pad,
+        band_limit=c.band_limit, n_rings=c.n_rings,
     )
 
 
@@ -148,6 +194,13 @@ def make_optimizer(config: ExperimentConfig, steps_per_epoch: int = 1):
 
 def batched_apply(net, params, batch: MeshBatch, rngs=None, **kw):
     """vmap the model over the mesh batch axis (params broadcast)."""
+    if batch.comp is not None:
+        def one_c(pos, table, banded, comp):
+            return net.apply(params, pos, table, banded, comp,
+                             rngs=rngs, **kw)
+
+        return jax.vmap(one_c)(batch.pos, batch.table, batch.banded,
+                               batch.comp)
     if batch.banded is not None:
         def one_b(pos, table, banded):
             return net.apply(params, pos, table, banded, rngs=rngs, **kw)
@@ -169,7 +222,7 @@ def make_loss_fn(net, config: ExperimentConfig, n_classes: int):
             config.random_scale,
         )
         aug = MeshBatch(pos=pos, table=batch.table, labels=batch.labels,
-                        banded=batch.banded)
+                        banded=batch.banded, comp=batch.comp)
         if task == "classification":
             logits = batched_apply(net, params, aug)[:, 0, :]   # (B, C)
             return losses.cross_entropy(logits, batch.labels)
@@ -221,10 +274,10 @@ def make_twin_train_step(net, config: ExperimentConfig, opt):
                                      config.random_scale)
             fs = batched_apply(net, params,
                                MeshBatch(ps, batch_s.table, batch_s.labels,
-                                         batch_s.banded))
+                                         batch_s.banded, batch_s.comp))
             ft = batched_apply(net, params,
                                MeshBatch(pt, batch_t.table, batch_t.labels,
-                                         batch_t.banded))
+                                         batch_t.banded, batch_t.comp))
             keys = jax.random.split(kl, fs.shape[0])
             per_mesh = jax.vmap(
                 lambda k, s, t, pp, np_: losses.twin_loss(

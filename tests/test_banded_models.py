@@ -47,3 +47,24 @@ def test_stack_batch_banded_and_vmap(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out_plain), atol=1e-4, rtol=1e-4
     )
+
+
+def test_segmentation_comp_echo_matches(rng):
+    """SegmentationNet with the banded gather-free ECHO == XLA ECHO."""
+    import jax
+    from fieldconv_tpu.models import SegmentationNet
+    from fieldconv_tpu.train.trainer import stack_batch, batched_apply
+
+    g = banded_graph(rng, n_vertices=64, tb=8, bw=14)
+    table, banded = tables_for(g, tb=8)
+    pos = np.asarray(rng.normal(size=(table.n_pad, 3)), np.float32)
+    net = SegmentationNet(n_classes=4, nf=6, n_des=6, n_bins=2,
+                          band_limit=2, n_rings=6)
+    params = net.init(jax.random.key(0), pos, table)
+    batch = stack_batch([(pos, table, np.zeros(table.n_pad, np.int32))],
+                        banded_tb=8, echo_banded=True)
+    assert batch.comp is not None
+    y_comp = batched_apply(net, params, batch)
+    y_ref = net.apply(params, pos, table)
+    np.testing.assert_allclose(np.asarray(y_comp[0]), np.asarray(y_ref),
+                               atol=5e-5, rtol=5e-5)
