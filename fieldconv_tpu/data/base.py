@@ -39,6 +39,11 @@ class MeshRecord:
     labels: np.ndarray       # () mesh label or (S,) per-vertex labels
     epsilon: float
     rcm_perm: np.ndarray = None   # (S,) original sample index at each position
+    # mean of the FULL normalised mesh (not just the samples): T.Center()
+    # in the reference runs on data.pos before the sample_idx slice
+    # (correspondence.ipynb cell 5), so the per-draw centering offset is the
+    # full-vertex mean.  None (legacy records) falls back to the sample mean.
+    center_mean: np.ndarray = None  # (3,)
 
     @property
     def n_samples(self) -> int:
@@ -59,9 +64,17 @@ class MeshRecord:
             n_multiple=n_multiple, d_multiple=d_multiple,
         )
 
-    def padded_pos(self, n_pad: int) -> np.ndarray:
+    def padded_pos(self, n_pad: int, center: bool = False) -> np.ndarray:
+        """Zero-padded sampled positions; center=True subtracts the
+        full-mesh mean first (the T.Center() pre-rotation step of the
+        correspondence/matching transform chains).  Padded rows stay zero."""
         out = np.zeros((n_pad, 3), np.float32)
-        out[: self.n_samples] = self.pos
+        pos = self.pos
+        if center:
+            mean = (self.center_mean if self.center_mean is not None
+                    else pos.mean(axis=0))
+            pos = pos - np.asarray(mean, pos.dtype)
+        out[: self.n_samples] = pos
         return out
 
     def padded_labels(self, n_pad: int) -> np.ndarray:
@@ -84,13 +97,20 @@ def process_mesh(
     max_neighbors: int = 512,
     rcm: bool = True,
     sample_idx: Optional[np.ndarray] = None,
+    post_axes: bool = False,
 ) -> MeshRecord:
     """Full offline precompute for one labelled mesh.
 
     `labels` is either a scalar (mesh class) or per-FULL-vertex array —
     subsampled by sample_idx like the reference (datasets/SHAPESEG.py:128).
+
+    post_axes=True applies NormalizeAxes to the stored positions AFTER the
+    log-map solves, exactly like the SHAPESEG pre_transform chain
+    (segmentation.ipynb cell 6: NormalizeArea → SupportGraph →
+    computeLogXPort → NormalizeAxes) — the permuted/rescaled pos feed the
+    lift, the stencils keep the pre-permutation geometry.
     """
-    from ..precomp.pipeline import normalize_area
+    from ..precomp.pipeline import normalize_area, normalize_axes
     from ..geometry.sampling import farthest_point_sampling, radius_graph
 
     v = normalize_area(vertices, faces) if normalize else np.asarray(vertices, float)
@@ -104,6 +124,11 @@ def process_mesh(
     supp_edges = radius_graph(v[sample_idx], epsilon, max_neighbors=max_neighbors)
     pre = compute_log_xport(mesh, sample_idx, supp_edges)
 
+    if post_axes:
+        # NormalizeAxes over the FULL mesh (the reference transform sees
+        # data.pos before the sample_idx slice)
+        v = normalize_axes(v)
+    center_mean = v.mean(axis=0)
     pos = v[sample_idx]
     lab = np.asarray(labels)
     if lab.ndim > 0 and len(lab) == mesh.n:
@@ -132,6 +157,7 @@ def process_mesh(
         labels=lab,
         epsilon=float(epsilon),
         rcm_perm=np.asarray(perm, np.int64),
+        center_mean=center_mean.astype(np.float32),
     )
 
 
@@ -156,6 +182,8 @@ class ArtifactStore:
             weights=rec.weights, labels=rec.labels, epsilon=rec.epsilon,
             rcm_perm=rec.rcm_perm if rec.rcm_perm is not None
             else np.arange(rec.n_samples),
+            center_mean=rec.center_mean if rec.center_mean is not None
+            else rec.pos.mean(axis=0),
         )
 
     def load(self, key: str) -> MeshRecord:
@@ -166,6 +194,7 @@ class ArtifactStore:
             weights=z["weights"], labels=z["labels"],
             epsilon=float(z["epsilon"]),
             rcm_perm=z["rcm_perm"] if "rcm_perm" in z else None,
+            center_mean=z["center_mean"] if "center_mean" in z else None,
         )
 
 
@@ -216,7 +245,12 @@ class FieldConvDataset:
         return d
 
     def _mesh_key(self, v, f) -> str:
-        return mesh_cache_key(v, f, self.epsilon, self.sample_n, 0, 0)
+        return mesh_cache_key(v, f, self.epsilon, self.sample_n, 0, 0,
+                              extra=f"axes{int(self.post_axes)}")
+
+    # subclasses with a NormalizeAxes tail in their pre_transform chain
+    # (SHAPESEG, segmentation.ipynb cell 6) set this True
+    post_axes = False
 
     def _build(self, v, f, name, labels, normalize=True, sample_idx=None) -> str:
         key = self._mesh_key(v, f)
@@ -224,6 +258,7 @@ class FieldConvDataset:
             rec = process_mesh(
                 v, f, self.epsilon, self.sample_n, name, labels,
                 normalize=normalize, rcm=self.rcm, sample_idx=sample_idx,
+                post_axes=self.post_axes,
             )
             self.store.save(key, rec)
         return key

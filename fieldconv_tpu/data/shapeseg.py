@@ -48,6 +48,10 @@ def _load_pt_labels(path: str) -> np.ndarray:
 
 class SHAPESEG(FieldConvDataset):
     n_classes = 8
+    # the SHAPESEG pre_transform ends with NormalizeAxes()
+    # (segmentation.ipynb cell 6): applied to stored pos only, after the
+    # log-map solves
+    post_axes = True
 
     def __init__(self, root, train=True, epsilon=0.2, sample_n=1024, **kw):
         super().__init__(root, train=train, epsilon=epsilon,

@@ -27,7 +27,11 @@ class ClassificationNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable, banded=None):
+    def __call__(self, pos, table: EdgeTable, banded=None, comp=None):
+        if comp is not None:
+            raise ValueError(
+                "ClassificationNet has no ECHO stage; comp tables are for "
+                "segmentation/correspondence batches")
         B = self.band_limit
         lift_cols = (0, 1) if self.legacy_lift_slice else (B, B + 1)
         kw = dict(

@@ -22,7 +22,11 @@ class MatchingNet(lnn.Module):
     d_chunk: int = 128
 
     @lnn.compact
-    def __call__(self, pos, table: EdgeTable, banded=None):
+    def __call__(self, pos, table: EdgeTable, banded=None, comp=None):
+        if comp is not None:
+            raise ValueError(
+                "MatchingNet has no ECHO stage; comp tables are for "
+                "segmentation/correspondence batches")
         B, nf = self.band_limit, self.nf
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,

@@ -99,14 +99,27 @@ class TangentLin(lnn.Module):
 
 
 class TangentNonLin(lnn.Module):
-    """modReLU on the radial component (reference nn/tangent_nonlin.py:8-35)."""
+    """modReLU on the radial component (reference nn/tangent_nonlin.py:8-35).
+
+    param_width: store a wider bias than the applied channel count.  The
+    reference's ECHOBlock sizes the bias by the block's ``in_channels`` but
+    applies it to the ``n_des``-channel conv output (echo_block.py:57,93);
+    torch's ``bias[0, nzInd[:, 1]]`` indexing then reads only the first
+    ``n_des`` entries.  Keeping the full-width parameter makes reference
+    state_dicts port 1:1 at configs with n_des != in_channels.
+    """
 
     in_channels: int
+    param_width: Optional[int] = None
 
     @lnn.compact
     def __call__(self, x):
-        bias = self.param("bias", lnn.initializers.zeros, (self.in_channels,))
-        return co.modrelu(x, bias)
+        width = self.param_width or self.in_channels
+        if width < self.in_channels:
+            raise ValueError(
+                f"param_width {width} < applied channels {self.in_channels}")
+        bias = self.param("bias", lnn.initializers.zeros, (width,))
+        return co.modrelu(x, bias[: self.in_channels])
 
 
 class TangentPerceptron(lnn.Module):
@@ -222,11 +235,13 @@ class ECHOBlock(lnn.Module):
             self.in_channels, n_des, self.band_limit, self.n_rings, self.ftype,
             self.d_chunk, name="conv",
         )(x, table, banded)
-        # NOTE: the reference constructs TangentNonLin(in_channels) but applies
-        # it to the n_des-channel conv output (echo_block.py:57,93); in every
-        # shipped config n_des defaults or equals usage widths consistently —
-        # we size the bias by the tensor it is applied to.
-        h = TangentNonLin(n_des, name="nonlin")(h)
+        # The reference constructs TangentNonLin(in_channels) but applies it
+        # to the n_des-channel conv output (echo_block.py:57,93) — only the
+        # first n_des bias entries are ever read.  param_width keeps the
+        # full-width parameter so reference weights port (e.g. the
+        # correspondence config: in=16, n_des=12).
+        h = TangentNonLin(n_des, param_width=self.in_channels,
+                          name="nonlin")(h)
         h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk, name="echo")(
             h, table, comp)
         h = h.reshape(h.shape[0], -1)

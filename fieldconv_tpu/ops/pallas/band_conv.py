@@ -362,17 +362,14 @@ def _bwd_fused_res_kernel(*refs, R, K, C, TB, NJ, O2, nb, nh,
                     R=R, K=K, C=C, TB=TB, NJ=NJ, O2=O2, mxu_dtype=mxu_dtype)
 
 
-# g arrays at or below this size may ride VMEM-resident through the fused
-# kernels (one fetch for the whole grid instead of NJ block DMAs per step);
-# the cap leaves room for the double-buffered stencil blocks + W + scratch
-# under the 100MB vmem budget.  Measured on one v5e chip the variant is a
-# wash (the stencil stream, ~6x the g traffic, dominates — see
-# docs/KERNEL_NOTES.md), so auto keeps the block-DMA path; the knob stays
-# for hardware where per-buffer pipeline overhead is costlier.
-G_RESIDENT_MAX_BYTES = 32 * 1024 * 1024
-
-
 def _use_g_resident(g, override=None):
+    """Whether to keep the whole rotated-source tensor g VMEM-resident
+    across the grid (one fetch total instead of NJ block DMAs per step).
+
+    Auto (override None) is OFF: measured on one TPU chip the resident
+    variant is a wash — the stencil stream, ~6x the g traffic, dominates
+    (docs/KERNEL_NOTES.md).  The knob stays for hardware where per-buffer
+    pipeline overhead is costlier; pass g_resident=True to force it."""
     if override is not None:
         return bool(override)
     return False
@@ -768,7 +765,8 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
 
     g_resident: keep the whole rotated-source tensor g VMEM-resident across
     the grid (one fetch total instead of NJ block DMAs per step).  None =
-    auto (on when g fits G_RESIDENT_MAX_BYTES)."""
+    auto, which currently always takes the block-DMA path — the resident
+    variant measured a wash on real hardware (see _use_g_resident)."""
     from ..field_conv import apply_filters, filter_coefficients
 
     g = rotated_source_tensor_kmajor(x, banded.band_limit)

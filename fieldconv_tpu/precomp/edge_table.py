@@ -41,6 +41,10 @@ class EdgeTable:
       vmask: (N,) f32      — 1.0 for real vertices, 0.0 for padded rows
       n_valid: number of real (sampled) vertices
       band_limit, n_rings: stencil hyperparameters (K = 2*band_limit+1)
+      axis_name: when set, the table rows (targets) are a LOCAL shard of a
+        shard_map graph axis of that name, while ``src`` indices stay GLOBAL;
+        the ops all_gather source features over the axis before gathering
+        (parallel/gp.py builds these tables).  None = single-device table.
     """
 
     src: jnp.ndarray
@@ -53,6 +57,7 @@ class EdgeTable:
     n_valid: int
     band_limit: int
     n_rings: int
+    axis_name: str = None
 
     @property
     def n_pad(self) -> int:
@@ -73,5 +78,5 @@ class EdgeTable:
 jax.tree_util.register_dataclass(
     EdgeTable,
     data_fields=["src", "mask", "rsten", "fwxp", "ln", "wxp", "vmask"],
-    meta_fields=["n_valid", "band_limit", "n_rings"],
+    meta_fields=["n_valid", "band_limit", "n_rings", "axis_name"],
 )

@@ -32,9 +32,11 @@ def normalize_area(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
 
 def normalize_axes(vertices: np.ndarray, normalize_scale: bool = True) -> np.ndarray:
     """Permute axes by ascending std; optionally scale longest axis to [0, 1]
-    (transforms/normalize_axes.py:21-30)."""
+    (transforms/normalize_axes.py:21-30).  torch.std defaults to the sample
+    standard deviation (ddof=1) — matched here so tie-breaking of the axis
+    sort is identical."""
     v = np.asarray(vertices, dtype=np.float64)
-    order = np.argsort(np.std(v, axis=0))
+    order = np.argsort(np.std(v, axis=0, ddof=1), kind="stable")
     v = v[:, order]
     if normalize_scale:
         v = v / (2.0 * v[:, 2].max())
@@ -153,10 +155,11 @@ def precompute_mesh(
     return table, pre, v
 
 
-def mesh_cache_key(vertices, faces, epsilon, sample_n, band_limit, n_rings) -> str:
+def mesh_cache_key(vertices, faces, epsilon, sample_n, band_limit, n_rings,
+                   extra: str = "") -> str:
     """Content hash for the artifact cache (SURVEY.md §5.4)."""
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(vertices, dtype=np.float64).tobytes())
     h.update(np.ascontiguousarray(faces, dtype=np.int64).tobytes())
-    h.update(f"{epsilon}:{sample_n}:{band_limit}:{n_rings}:v1".encode())
+    h.update(f"{epsilon}:{sample_n}:{band_limit}:{n_rings}:{extra}:v2".encode())
     return h.hexdigest()[:24]

@@ -81,32 +81,22 @@ def main(argv=None):
 
 def run_matching(args, config):
     from ..data import SHREC19
-    from ..data.shrec19 import null_pairs
-    from .loop import fit_matching, make_batches
-    from . import evaluate as _eval
+    from .loop import fit_matching
 
     ds = {w: SHREC19(args.root, which=w, n_samples=config.sample_n,
                      epsilon=config.epsilon) for w in range(4)}
     src = ds[0].records()
     tgt = ds[1].records()
     pps = [ds[1].pos_pairs(i) for i in range(len(ds[1]))]
-    net, state = fit_matching(
+    te_s, te_t = ds[2].records(), ds[3].records()
+    te_pps = [ds[3].pos_pairs(i) for i in range(len(ds[3]))]
+    net, state, rates = fit_matching(
         config, src, tgt, pps, banded_tb=args.banded_tb,
         log_path=args.log, seed=args.seed,
+        test_source_records=te_s, test_target_records=te_t,
+        test_pos_pairs_list=te_pps,
     )
-    # evaluation over the test pairs with the full null complement
-    from ..data.base import shared_bucket
-    te_s, te_t = ds[2].records(), ds[3].records()
-    n_pad, d_slots = shared_bucket(src + tgt + te_s + te_t)
-    pair_batches = []
-    for i in range(len(te_s)):
-        bs = make_batches([te_s[i]], config, 1, args.banded_tb, n_pad, d_slots)[0]
-        bt = make_batches([te_t[i]], config, 1, args.banded_tb, n_pad, d_slots)[0]
-        pp = ds[3].pos_pairs(i)
-        nulls = null_pairs(pp, te_t[i].n_samples)
-        pair_batches.append((bs, bt, pp, nulls))
-    fp, fn = _eval.matching_rates(net, state.params, pair_batches,
-                                  mu=config.twin_mu)
+    fp, fn = rates
     print(f"Test split: FP: {fp:.4f}, FN: {fn:.4f}, Err: {fp+fn:.4f}")
     return fp + fn
 

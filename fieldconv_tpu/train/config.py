@@ -38,6 +38,12 @@ class ExperimentConfig:
     # augmentation (reference: RandomScale(0.85,1.15) + ±45° rotations)
     random_scale: Optional[Tuple[float, float]] = (0.85, 1.15)
     random_rotate_deg: float = 45.0
+    # per-draw centering before the rotations: the correspondence/matching
+    # transform chains start with T.Center() (correspondence.ipynb cell 5,
+    # feature_matching.ipynb cell 6); classification/segmentation do not.
+    # Center-then-rotate is deterministic-then-random, so it is applied once
+    # at batch build time (MeshRecord.padded_pos(center=True)).
+    center: bool = False
     # runtime
     d_chunk: int = 128
     # ECHO implementation: "onehot" (XLA separable splat) or "banded"
@@ -46,6 +52,22 @@ class ExperimentConfig:
     echo_impl: str = "onehot"
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 5
+    # metrics readback cadence: device losses are fetched to host in chunks
+    # of this many steps so the non-finite guard / logging never serialise
+    # dispatch (the guard itself is device-side, trainer.py).
+    log_every: int = 50
+
+    def __post_init__(self):
+        if self.task not in (
+                "classification", "segmentation", "correspondence",
+                "matching"):
+            raise ValueError(f"unknown task {self.task!r}")
+        if self.echo_impl not in ("onehot", "banded"):
+            raise ValueError(
+                f"echo_impl must be 'onehot' or 'banded', got "
+                f"{self.echo_impl!r}")
+        if self.ftype not in (0, 1, 2):
+            raise ValueError(f"ftype must be 0/1/2, got {self.ftype}")
 
 
 CLASSIFICATION = ExperimentConfig(
@@ -61,14 +83,14 @@ SEGMENTATION = ExperimentConfig(
 CORRESPONDENCE = ExperimentConfig(
     task="correspondence", band_limit=1, n_rings=3, nf=32, epsilon=0.0425,
     n_des=12, n_bins=2, lr=0.01, lr_decay_epoch=40, lr_decayed=0.001,
-    epochs=60, random_scale=None, echo_impl="banded",
-)   # correspondence.ipynb cells 3, 10, 15
+    epochs=60, random_scale=None, center=True, echo_impl="banded",
+)   # correspondence.ipynb cells 3, 5 (T.Center), 10, 15
 
 MATCHING = ExperimentConfig(
     task="matching", band_limit=1, n_rings=6, nf=32, epsilon=0.1,
     sample_n=2048, lr=0.001, lr_decay_epoch=40, lr_decayed=0.001,
-    epochs=80, n_pairs=512, random_scale=None,
-)   # feature_matching.ipynb cells 4, 11, 17
+    epochs=80, n_pairs=512, random_scale=None, center=True,
+)   # feature_matching.ipynb cells 4, 6 (T.Center), 11, 17
 
 PRESETS = {
     "classification": CLASSIFICATION,

@@ -54,6 +54,12 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
                  batch_size: int = 1, banded_tb: Optional[int] = None,
                  n_pad=None, d_slots=None):
     """Group records into same-bucket MeshBatches."""
+    echo_task = config.task in ("segmentation", "correspondence")
+    if config.echo_impl == "banded" and echo_task and banded_tb is None:
+        raise ValueError(
+            "config.echo_impl='banded' requires banded_tb: the gather-free "
+            "ECHO path runs on compressed banded tables built per "
+            "target-block size (pass banded_tb=, or use echo_impl='onehot')")
     if n_pad is None or d_slots is None:
         n_pad, d_slots = shared_bucket(records)
     batches = []
@@ -63,10 +69,10 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
         for r in group:
             table = r.table(config.band_limit, config.n_rings,
                             n_pad=n_pad, d_slots=d_slots)
-            items.append((r.padded_pos(n_pad), table, r.padded_labels(n_pad)))
-        use_banded_echo = (config.echo_impl == "banded"
-                           and banded_tb is not None
-                           and config.task in ("segmentation", "correspondence"))
+            items.append((r.padded_pos(n_pad, center=config.center), table,
+                          r.padded_labels(n_pad)))
+        use_banded_echo = (config.echo_impl == "banded" and echo_task
+                           and banded_tb is not None)
         batches.append(stack_batch(items, banded_tb=banded_tb,
                                    echo_banded=use_banded_echo))
     return batches
@@ -118,6 +124,24 @@ def fit(
     total_steps = config.epochs * steps_per_epoch
     order_rng = np.random.default_rng(seed + 2)
 
+    # Losses stay on device (the non-finite guard runs inside the jitted
+    # step, trainer._guarded_update); the host reads them back in chunks of
+    # config.log_every so logging never serialises dispatch.
+    import time as _time
+    pending: list = []   # (step, issue timestamp, device loss)
+
+    def flush():
+        if not pending:
+            return
+        vals = np.asarray(jnp.stack([l for _, _, l in pending]))
+        for (s, t, _), v in zip(pending, vals):
+            v = float(v)
+            if not np.isfinite(v):
+                print(f"WARNING: non-finite loss at step {s}; the update "
+                      "was skipped on device", flush=True)
+            logger.log({"loss": v}, edges=edges_per_batch, t=t)
+        pending.clear()
+
     step = start_step
     while step < total_steps:
         order = order_rng.permutation(len(train_batches))
@@ -125,24 +149,20 @@ def fit(
             if step >= total_steps:
                 break
             key, sub = jax.random.split(key)
-            new_state, metrics = step_fn(state, sub, train_batches[bi])
-            loss_val = float(np.asarray(metrics["loss"]))
-            if not np.isfinite(loss_val):
-                # failure detection (SURVEY.md §5.3): skip the poisoned
-                # update, keep the previous state
-                print(f"WARNING: non-finite loss at step {step}; "
-                      "skipping update", flush=True)
-            else:
-                state = new_state
-            logger.log({"loss": loss_val}, edges=edges_per_batch)
+            state, metrics = step_fn(state, sub, train_batches[bi])
+            pending.append((step, _time.perf_counter(), metrics["loss"]))
             step += 1
+            if len(pending) >= config.log_every:
+                flush()
             if ckpt and config.checkpoint_every and \
                     step % (config.checkpoint_every * steps_per_epoch) == 0:
                 ckpt.save(state)
         if eval_every and test_batches and \
                 (step // steps_per_epoch) % eval_every == 0:
+            flush()
             m = evaluate_task(net, state.params, config, test_batches, n_classes)
             print(f"epoch {step // steps_per_epoch}: eval = {m:.4f}", flush=True)
+    flush()
 
     if ckpt:
         ckpt.save(state)
@@ -163,41 +183,99 @@ def fit_matching(
     banded_tb: Optional[int] = None,
     log_path: Optional[str] = None,
     seed: int = 0,
+    test_source_records=None,
+    test_target_records=None,
+    test_pos_pairs_list=None,
+    eval_every: Optional[int] = None,
 ):
     """Siamese training (feature_matching.ipynb cells 12-13): per step draw
-    n_pairs positive and n_pairs null correspondences per mesh pair."""
+    n_pairs positive and n_pairs null correspondences per mesh pair.
+
+    Supports checkpoint/resume (config.checkpoint_dir) like fit(); the
+    per-step pair draws are keyed on (seed, step) so a resumed run replays
+    the same stream.  eval_every (epochs) reports FP/FN rates over the test
+    pairs (feature_matching.ipynb cell 15) when test records are given.
+    """
     from ..data.shrec19 import sample_null_pairs
     from .trainer import make_twin_train_step
 
     net = build_model(config, n_classes=0)
-    all_records = source_records + target_records
+    all_records = source_records + target_records + \
+        (test_source_records or []) + (test_target_records or [])
     n_pad, d_slots = shared_bucket(all_records)
 
     def to_batch(rec):
         table = rec.table(config.band_limit, config.n_rings,
                           n_pad=n_pad, d_slots=d_slots)
         return stack_batch(
-            [(rec.padded_pos(n_pad), table, rec.padded_labels(n_pad))],
+            [(rec.padded_pos(n_pad, center=config.center), table,
+              rec.padded_labels(n_pad))],
             banded_tb=banded_tb,
         )
 
     batches_s = [to_batch(r) for r in source_records]
     batches_t = [to_batch(r) for r in target_records]
 
-    opt = make_optimizer(config, len(batches_s))
+    steps_per_epoch = len(batches_s)
+    opt = make_optimizer(config, steps_per_epoch)
     b0 = batches_s[0]
     params = jax.jit(net.init)(jax.random.key(seed), b0.pos[0],
                                jax.tree.map(lambda x: x[0], b0.table))
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    ckpt = None
+    if config.checkpoint_dir:
+        ckpt = CheckpointManager(config.checkpoint_dir)
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(np.asarray(state.step))}")
+
     step_fn = make_twin_train_step(net, config, opt)
     logger = MetricsLogger(log_path)
-    key = jax.random.key(seed + 1)
-    order_rng = np.random.default_rng(seed + 2)
-    np_rng = np.random.default_rng(seed + 3)
+    base_key = jax.random.key(seed + 1)
+
+    import time as _time
+    pending: list = []
+
+    def flush():
+        if not pending:
+            return
+        vals = np.asarray(jnp.stack([l for _, _, l in pending]))
+        for (s, t, _), v in zip(pending, vals):
+            v = float(v)
+            if not np.isfinite(v):
+                print(f"WARNING: non-finite loss at step {s}; the update "
+                      "was skipped on device", flush=True)
+            logger.log({"loss": v}, t=t)
+        pending.clear()
+
+    def eval_rates():
+        from . import evaluate
+        from ..data.shrec19 import null_pairs as full_null_pairs
+        pair_batches = []
+        for i in range(len(test_source_records)):
+            pp = test_pos_pairs_list[i]
+            nulls = full_null_pairs(pp, test_target_records[i].n_samples)
+            pair_batches.append((to_batch(test_source_records[i]),
+                                 to_batch(test_target_records[i]), pp, nulls))
+        return evaluate.matching_rates(net, state.params, pair_batches,
+                                       mu=config.twin_mu)
 
     n_pairs = config.n_pairs
-    for epoch in range(config.epochs):
-        for i in order_rng.permutation(len(batches_s)):
+    have_test = (test_source_records and test_target_records
+                 and test_pos_pairs_list is not None)
+    start_step = int(np.asarray(state.step))
+    total_steps = config.epochs * steps_per_epoch
+    step = start_step
+    while step < total_steps:
+        # deterministic-by-step draw streams so resume replays the schedule
+        epoch = step // steps_per_epoch
+        order = np.random.default_rng((seed + 2, epoch)).permutation(
+            steps_per_epoch)
+        for k in range(step % steps_per_epoch, steps_per_epoch):
+            i = order[k]
+            np_rng = np.random.default_rng((seed + 3, step))
             pp_all = pos_pairs_list[i]
             sel = np_rng.permutation(len(pp_all))[:n_pairs]
             pp = pp_all[sel]
@@ -206,14 +284,30 @@ def fit_matching(
                 pp = pp[reps]
             n_samples = source_records[i].n_samples
             nulls = sample_null_pairs(np_rng, pp_all, n_samples, n_pairs)
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(base_key, step)
             state, metrics = step_fn(
                 state, sub, batches_s[i], batches_t[i],
                 jnp.asarray(pp)[None], jnp.asarray(nulls)[None],
             )
-            logger.log({"loss": metrics["loss"]})
+            pending.append((step, _time.perf_counter(), metrics["loss"]))
+            step += 1
+            if len(pending) >= config.log_every:
+                flush()
+            if ckpt and config.checkpoint_every and \
+                    step % (config.checkpoint_every * steps_per_epoch) == 0:
+                ckpt.save(state)
+        if eval_every and have_test and \
+                (step // steps_per_epoch) % eval_every == 0:
+            flush()
+            fp, fn = eval_rates()
+            print(f"epoch {step // steps_per_epoch}: "
+                  f"FP={fp:.4f} FN={fn:.4f}", flush=True)
+    flush()
+    if ckpt:
+        ckpt.save(state)
+    final = eval_rates() if have_test else None
     logger.close()
-    return net, state
+    return net, state, final
 
 
 def evaluate_task(net, params, config, test_batches, n_classes):

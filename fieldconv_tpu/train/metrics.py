@@ -20,8 +20,12 @@ class MetricsLogger:
         self._fh = open(path, "a") if path else None
         self._t_last = time.perf_counter()
 
-    def log(self, metrics: dict, edges: Optional[float] = None) -> None:
-        now = time.perf_counter()
+    def log(self, metrics: dict, edges: Optional[float] = None,
+            t: Optional[float] = None) -> None:
+        """t: perf_counter timestamp of when the step was issued — pass it
+        when logging is deferred (chunked readback) so step timing reflects
+        the actual step cadence, not the flush cadence."""
+        now = time.perf_counter() if t is None else t
         dt = now - self._t_last
         self._t_last = now
         self.step += 1

@@ -245,15 +245,27 @@ def make_loss_fn(net, config: ExperimentConfig, n_classes: int):
     return loss_fn
 
 
+def _guarded_update(state: TrainState, loss, grads, opt):
+    """Apply the optimizer update, keeping the previous params/opt state when
+    the loss is non-finite.  The guard is device-side (SURVEY.md §5.3) so the
+    training loop never reads the loss back synchronously on the hot path."""
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ok = jnp.isfinite(loss)
+    params = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), params, state.params)
+    opt_state = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), opt_state, state.opt_state)
+    return TrainState(params, opt_state, state.step + 1)
+
+
 def make_train_step(net, config: ExperimentConfig, n_classes: int, opt):
     loss_fn = make_loss_fn(net, config, n_classes)
 
     @jax.jit
     def train_step(state: TrainState, key, batch: MeshBatch):
         l, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), {"loss": l}
+        return _guarded_update(state, l, grads, opt), {"loss": l}
 
     return train_step
 
@@ -286,8 +298,6 @@ def make_twin_train_step(net, config: ExperimentConfig, opt):
             return jnp.mean(per_mesh)
 
         l, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), {"loss": l}
+        return _guarded_update(state, l, grads, opt), {"loss": l}
 
     return train_step

@@ -182,7 +182,12 @@ def test_fit_matching_synthetic():
     config = dataclasses.replace(
         MATCHING, epochs=2, n_pairs=16, nf=4, n_rings=4, band_limit=1
     )
-    net, state = fit_matching(config, src_recs, tgt_recs, pps)
+    net, state, rates = fit_matching(
+        config, src_recs, tgt_recs, pps,
+        test_source_records=src_recs[:1], test_target_records=tgt_recs[:1],
+        test_pos_pairs_list=pps[:1], eval_every=1,
+    )
+    assert rates is not None and all(0.0 <= r <= 1.0 for r in rates)
     leaves = [np.asarray(l) for l in
               __import__("jax").tree_util.tree_leaves(state.params)]
     assert all(np.all(np.isfinite(l)) for l in leaves)

@@ -1,0 +1,319 @@
+"""FULL-NETWORK parity against the live torch reference.
+
+Block-level ports (test_reference_parity.py) can't catch composition bugs —
+lift-slice plumbing, meta-residual wiring, pooling, head order.  Here each of
+the four notebook ``Net``s (classification.ipynb cell 8, segmentation.ipynb
+cell 9, correspondence.ipynb cell 8, feature_matching.ipynb cell 9) is
+assembled in torch from the reference's own nn modules (imported in place via
+the shim — no reference code is copied), every weight is ported into the flax
+model, and END-TO-END outputs *and parameter gradients* are asserted to
+match.
+
+Gradient check: both sides compute the scalar <out, G> for a fixed random
+cotangent G and differentiate w.r.t. every parameter — parity of that linear
+functional's gradient covers the whole backward graph.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import random_graph, random_field
+from test_reference_parity import (
+    make_table,
+    planar_pad,
+    ref,           # noqa: F401  (fixture)
+    ref_precomp_torch,
+    set_params,
+    tf64,
+    _state64,
+)
+
+from fieldconv_tpu.models import (
+    ClassificationNet,
+    CorrespondenceNet,
+    MatchingNet,
+    SegmentationNet,
+)
+from fieldconv_tpu.utils.port_weights import (
+    flax_to_torch_state_dict,
+    torch_state_dict_to_flax,
+)
+
+pytestmark = pytest.mark.slow
+
+
+# --- torch-side notebook Nets (wiring per the cited cells) ------------------
+
+class TorchClassificationNet(torch.nn.Module):
+    """classification.ipynb cell 8: lift takes *attr_conv* (the full
+    stencil) — the legacy lift-slice quirk (SURVEY.md §6c.1)."""
+
+    def __init__(self, nn_mod, n_classes, nf, band_limit, n_rings, ftype):
+        super().__init__()
+        self.band_limit = band_limit
+        self.lift = nn_mod.LiftBlock(3, nf, n_rings=n_rings, ftype=ftype)
+        self.resnet1 = nn_mod.FCResNetBlock(
+            nf, nf, band_limit=band_limit, n_rings=n_rings, ftype=ftype)
+        self.resnet2 = nn_mod.FCResNetBlock(
+            nf, nf, band_limit=band_limit, n_rings=n_rings, ftype=ftype)
+        self.conv_out = nn_mod.FieldConv(
+            nf, n_classes, band_limit=band_limit, n_rings=n_rings, ftype=ftype)
+        self.bias = torch.nn.Parameter(torch.zeros(1, n_classes))
+        self._soft_abs = None  # set post-construction (utils.field.softAbs)
+
+    def forward(self, pos, edges, sten):
+        attr_conv = (edges, sten)
+        x = self.lift(pos, *attr_conv)          # quirk: full stencil
+        x = self.resnet1(x, *attr_conv)
+        x = self.resnet2(x, *attr_conv)
+        x = self.conv_out(x, *attr_conv)
+        return torch.mean(self._soft_abs(x), dim=0, keepdim=True) + self.bias
+
+
+class TorchSegmentationNet(torch.nn.Module):
+    """segmentation.ipynb cell 9: lift takes attr_lift (freq 0/+1 slice)."""
+
+    def __init__(self, nn_mod, n_classes, nf, n_des, n_bins, band_limit,
+                 n_rings, ftype):
+        super().__init__()
+        self.band_limit = band_limit
+        self.lift = nn_mod.LiftBlock(3, nf, n_rings=n_rings, ftype=ftype)
+        for i in range(1, 5):
+            setattr(self, f"resnet{i}", nn_mod.FCResNetBlock(
+                nf, nf, band_limit=band_limit, n_rings=n_rings, ftype=ftype))
+        self.echo = nn_mod.ECHOBlock(
+            nf, n_classes, n_des=n_des, n_bins=n_bins,
+            band_limit=band_limit, n_rings=n_rings, ftype=ftype)
+
+    def forward(self, pos, edges, sten, ln, wxp):
+        B = self.band_limit
+        attr_lift = (edges, sten[..., B:(B + 2)])
+        attr_conv = (edges, sten)
+        x = self.lift(pos, *attr_lift)
+        for i in range(1, 5):
+            x = getattr(self, f"resnet{i}")(x, *attr_conv)
+        return self.echo(x, edges, sten, ln, wxp)
+
+
+class TorchEightBlockTrunk(torch.nn.Module):
+    """The shared 8×FCResNet + 4 meta-residual trunk of correspondence.ipynb
+    cell 8 / feature_matching.ipynb cell 9."""
+
+    def __init__(self, nn_mod, nf, out_ch, band_limit, n_rings, ftype,
+                 frontload_last):
+        super().__init__()
+        self.band_limit = band_limit
+        self.lift = nn_mod.LiftBlock(3, 16, n_rings=n_rings, ftype=ftype)
+        mk = lambda i, o, **kw: nn_mod.FCResNetBlock(
+            i, o, band_limit=band_limit, n_rings=n_rings, ftype=ftype, **kw)
+        self.resnet1 = mk(16, nf)
+        for i in range(2, 8):
+            setattr(self, f"resnet{i}", mk(nf, nf))
+        self.resnet8 = (mk(nf, out_ch, frontload=True) if frontload_last
+                        else mk(nf, out_ch))
+        self.res1 = nn_mod.TangentPerceptron(16, nf)
+        self.res2 = nn_mod.TangentPerceptron(nf, nf)
+        self.res3 = nn_mod.TangentPerceptron(nf, nf)
+        self.res4 = nn_mod.TangentPerceptron(nf, out_ch)
+
+    def trunk(self, pos, edges, sten):
+        B = self.band_limit
+        attr_lift = (edges, sten[..., B:(B + 2)])
+        attr_conv = (edges, sten)
+        x1 = self.lift(pos, *attr_lift)
+        x = self.resnet1(x1, *attr_conv)
+        x2 = self.resnet2(x, *attr_conv) + self.res1(x1)
+        x = self.resnet3(x2, *attr_conv)
+        x3 = self.resnet4(x, *attr_conv) + self.res2(x2)
+        x = self.resnet5(x3, *attr_conv)
+        x4 = self.resnet6(x, *attr_conv) + self.res3(x3)
+        x = self.resnet7(x4, *attr_conv)
+        return self.resnet8(x, *attr_conv) + self.res4(x4)
+
+
+class TorchCorrespondenceNet(TorchEightBlockTrunk):
+    """correspondence.ipynb cell 8 (head evaluated in eval mode: the
+    dropout is identity, matching deterministic=True on the flax side)."""
+
+    def __init__(self, nn_mod, n_classes, nf, n_des, n_bins, band_limit,
+                 n_rings, ftype):
+        super().__init__(nn_mod, nf, 16, band_limit, n_rings, ftype,
+                         frontload_last=True)
+        self.echo = nn_mod.ECHOBlock(
+            16, nf, n_des=n_des, n_bins=n_bins,
+            band_limit=band_limit, n_rings=n_rings, ftype=ftype)
+        self.D = torch.nn.Dropout(p=0.5)
+        self.lin1 = torch.nn.Linear(nf, 256)
+        self.lin2 = torch.nn.Linear(256, n_classes)
+
+    def forward(self, pos, edges, sten, ln, wxp):
+        x = self.trunk(pos, edges, sten)
+        x = self.echo(x, edges, sten, ln, wxp)
+        x = torch.nn.functional.relu(self.lin1(x))
+        x = self.D(x)
+        return self.lin2(x)
+
+
+class TorchMatchingNet(TorchEightBlockTrunk):
+    """feature_matching.ipynb cell 9."""
+
+    def __init__(self, nn_mod, nf, band_limit, n_rings, ftype):
+        super().__init__(nn_mod, nf, nf, band_limit, n_rings, ftype,
+                         frontload_last=False)
+        self.out = nn_mod.TangentPerceptron(nf, 16)
+        self._soft_abs = None
+
+    def forward(self, pos, edges, sten):
+        x = self.trunk(pos, edges, sten)
+        return self._soft_abs(self.out(x))
+
+
+# --- harness ----------------------------------------------------------------
+
+def _torch_forward_backward(model, inputs, G):
+    """Forward + grad of <out, G> w.r.t. every parameter, by name."""
+    model.eval()
+    out = model(*inputs)
+    (out * torch.tensor(G, dtype=out.dtype)).sum().backward()
+    grads = {k: p.grad.detach().numpy() for k, p in model.named_parameters()}
+    return out.detach().numpy(), grads
+
+
+def _jax_forward_backward(net, params, args, kwargs, G):
+    def fwd(p):
+        return net.apply(p, *args, **kwargs)
+
+    def scalar(p):
+        return jnp.sum(fwd(p) * jnp.asarray(G, jnp.float32))
+
+    out = fwd(params)
+    grads = jax.grad(scalar)(params)
+    return np.asarray(out), flax_to_torch_state_dict(grads["params"])
+
+
+def _assert_grads_close(got, want, atol, skip=()):
+    assert set(got) == set(want), (
+        f"param-name mismatch: only-jax {set(got)-set(want)}, "
+        f"only-torch {set(want)-set(got)}")
+    for k in sorted(want):
+        if any(k.startswith(s) for s in skip):
+            continue
+        g, w = got[k], want[k].reshape(np.shape(got[k]))
+        scale = max(np.abs(w).max(), 1e-3)
+        np.testing.assert_allclose(
+            g, w, atol=atol * scale, err_msg=f"grad mismatch at '{k}'")
+
+
+def _prep(ref, rng, B, R, epsilon, n_vertices=26, avg_deg=6):
+    g = random_graph(rng, n_vertices=n_vertices, avg_deg=avg_deg, B=B, R=R,
+                     epsilon=epsilon)
+    edges, sten, ln, wxp = ref_precomp_torch(ref, g)
+    table = make_table(g)
+    pos = rng.normal(size=(g["n_vertices"], 3)).astype(np.float32)
+    pos_j = jnp.asarray(
+        np.pad(pos, [(0, table.n_pad - len(pos)), (0, 0)]))
+    t_in = (tf64(pos), torch.tensor(edges), torch.tensor(sten))
+    return g, table, pos_j, t_in, (ln, wxp)
+
+
+def _port(net, args, kwargs, tmodel):
+    template = net.init(jax.random.key(0), *args, **kwargs)
+    return torch_state_dict_to_flax(_state64(tmodel), template)
+
+
+# --- the four nets -----------------------------------------------------------
+
+def test_full_classification_net_parity(ref, rng):
+    B, R, nf, n_classes = 2, 6, 8, 7
+    g, table, pos_j, t_in, _ = _prep(ref, rng, B, R, epsilon=0.35)
+    N = g["n_vertices"]
+
+    tmodel = TorchClassificationNet(ref.nn, n_classes, nf, B, R, ftype=1)
+    tmodel._soft_abs = ref.field.softAbs
+    set_params(tmodel, rng, scale=0.4)
+    G = rng.normal(size=(1, n_classes)).astype(np.float32)
+    want, want_g = _torch_forward_backward(tmodel, t_in, G)
+
+    net = ClassificationNet(n_classes=n_classes, nf=nf, band_limit=B,
+                            n_rings=R, ftype=1, legacy_lift_slice=True)
+    params = _port(net, (pos_j, table), {}, tmodel)
+    got, got_g = _jax_forward_backward(net, params, (pos_j, table), {}, G)
+
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    _assert_grads_close(got_g, want_g, atol=2e-3)
+
+
+def test_full_segmentation_net_parity(ref, rng):
+    B, R, nf, n_des, n_bins, n_classes = 2, 6, 6, 6, 3, 5
+    g, table, pos_j, t_in, (ln, wxp) = _prep(ref, rng, B, R, epsilon=0.35)
+    N = g["n_vertices"]
+
+    tmodel = TorchSegmentationNet(ref.nn, n_classes, nf, n_des, n_bins, B, R,
+                                  ftype=1)
+    set_params(tmodel, rng, scale=0.35)
+    from test_reference_parity import tc
+    want, want_g = _torch_forward_backward(
+        tmodel, t_in + (tc(ln), tc(wxp)),
+        np.ones((N, n_classes), np.float32))
+
+    net = SegmentationNet(n_classes=n_classes, nf=nf, n_des=n_des,
+                          n_bins=n_bins, band_limit=B, n_rings=R, ftype=1)
+    params = _port(net, (pos_j, table), {}, tmodel)
+    Gp = np.zeros((table.n_pad, n_classes), np.float32)
+    Gp[:N] = 1.0
+    got, got_g = _jax_forward_backward(net, params, (pos_j, table), {}, Gp)
+
+    np.testing.assert_allclose(got[:N], want, atol=5e-4)
+    _assert_grads_close(got_g, want_g, atol=4e-3)
+
+
+def test_full_correspondence_net_parity(ref, rng):
+    # the shipped config's shape quirks: in=16, n_des=12 (ECHOBlock bias is
+    # 16-wide but only 12 entries are read), frontloaded resnet8, 4 meta
+    # residuals, dropout head in eval mode
+    B, R, nf, n_des, n_bins, n_classes = 1, 3, 12, 8, 2, 9
+    g, table, pos_j, t_in, (ln, wxp) = _prep(ref, rng, B, R, epsilon=0.35)
+    N = g["n_vertices"]
+
+    tmodel = TorchCorrespondenceNet(ref.nn, n_classes, nf, n_des, n_bins, B,
+                                    R, ftype=1)
+    set_params(tmodel, rng, scale=0.3)
+    from test_reference_parity import tc
+    G = rng.normal(size=(N, n_classes)).astype(np.float32)
+    want, want_g = _torch_forward_backward(tmodel, t_in + (tc(ln), tc(wxp)), G)
+
+    net = CorrespondenceNet(n_classes=n_classes, nf=nf, n_des=n_des,
+                            n_bins=n_bins, band_limit=B, n_rings=R, ftype=1)
+    kwargs = {"deterministic": True}
+    params = _port(net, (pos_j, table), kwargs, tmodel)
+    Gp = np.zeros((table.n_pad, n_classes), np.float32)
+    Gp[:N] = G
+    got, got_g = _jax_forward_backward(net, params, (pos_j, table), kwargs, Gp)
+
+    np.testing.assert_allclose(got[:N], want, atol=1e-3)
+    _assert_grads_close(got_g, want_g, atol=6e-3)
+
+
+def test_full_matching_net_parity(ref, rng):
+    B, R, nf = 1, 6, 12
+    g, table, pos_j, t_in, _ = _prep(ref, rng, B, R, epsilon=0.35)
+    N = g["n_vertices"]
+
+    tmodel = TorchMatchingNet(ref.nn, nf, B, R, ftype=1)
+    tmodel._soft_abs = ref.field.softAbs
+    set_params(tmodel, rng, scale=0.3)
+    G = rng.normal(size=(N, 16)).astype(np.float32)
+    want, want_g = _torch_forward_backward(tmodel, t_in, G)
+
+    net = MatchingNet(nf=nf, band_limit=B, n_rings=R, ftype=1)
+    params = _port(net, (pos_j, table), {}, tmodel)
+    Gp = np.zeros((table.n_pad, 16), np.float32)
+    Gp[:N] = G
+    got, got_g = _jax_forward_backward(net, params, (pos_j, table), {}, Gp)
+
+    np.testing.assert_allclose(got[:N], want, atol=5e-4)
+    _assert_grads_close(got_g, want_g, atol=4e-3)
