@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as lnn
 
 from ..nn.modules import ECHOBlock, FCResNetBlock, LiftBlock, Linear, TangentPerceptron
@@ -9,7 +11,11 @@ from ..precomp.edge_table import EdgeTable
 
 
 class CorrespondenceNet(lnn.Module):
-    """Lift(3→16) + 8×FCResNet with 4 meta-residuals + ECHOBlock + MLP head."""
+    """Lift(3→16) + 8×FCResNet with 4 meta-residuals + ECHOBlock + MLP head.
+
+    lift_impl / echo_impl: see models/classification.py and nn.modules.ECHO;
+    axis_name runs the whole net graph-parallel under shard_map.
+    """
 
     n_classes: int = 4999
     nf: int = 32
@@ -20,6 +26,9 @@ class CorrespondenceNet(lnn.Module):
     ftype: int = 1
     dropout: float = 0.5
     d_chunk: int = 128
+    lift_impl: str = "auto"
+    echo_impl: str = "auto"
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, table: EdgeTable, banded=None, comp=None, *,
@@ -27,12 +36,13 @@ class CorrespondenceNet(lnn.Module):
         B, nf = self.band_limit, self.nf
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
-            d_chunk=self.d_chunk,
+            d_chunk=self.d_chunk, axis_name=self.axis_name,
         )
+        lift_comp = None if self.lift_impl == "gather" else comp
         x1 = LiftBlock(
             3, 16, n_rings=self.n_rings, ftype=self.ftype,
-            d_chunk=self.d_chunk, name="lift",
-        )(pos, table, (B, B + 1))
+            d_chunk=self.d_chunk, axis_name=self.axis_name, name="lift",
+        )(pos, table, (B, B + 1), lift_comp)
 
         x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table, banded)
         x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table, banded) + \
@@ -48,7 +58,8 @@ class CorrespondenceNet(lnn.Module):
             TangentPerceptron(nf, 16, name="res4")(x4)
 
         x = ECHOBlock(
-            16, nf, n_des=self.n_des, n_bins=self.n_bins, name="echo", **kw
+            16, nf, n_des=self.n_des, n_bins=self.n_bins,
+            echo_impl=self.echo_impl, name="echo", **kw
         )(x, table, banded, comp)
         x = lnn.relu(Linear(nf, 256, name="lin1")(x))
         x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)

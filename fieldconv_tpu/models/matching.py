@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as lnn
 
 from ..nn.modules import FCResNetBlock, LiftBlock, TangentPerceptron
@@ -12,7 +14,10 @@ from ..utils import complexops as co
 
 class MatchingNet(lnn.Module):
     """Lift(3→16) + 8×FCResNet with 4 meta-residuals + TangentPerceptron→16,
-    returning softAbs magnitudes as the descriptor."""
+    returning softAbs magnitudes as the descriptor.
+
+    No ECHO stage; an optional CompressedBandedTable only feeds the
+    gather-free lift (lift_impl, see models/classification.py)."""
 
     nf: int = 32
     descriptor_dim: int = 16
@@ -20,22 +25,21 @@ class MatchingNet(lnn.Module):
     n_rings: int = 6
     ftype: int = 1
     d_chunk: int = 128
+    lift_impl: str = "auto"
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, table: EdgeTable, banded=None, comp=None):
-        if comp is not None:
-            raise ValueError(
-                "MatchingNet has no ECHO stage; comp tables are for "
-                "segmentation/correspondence batches")
         B, nf = self.band_limit, self.nf
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
-            d_chunk=self.d_chunk,
+            d_chunk=self.d_chunk, axis_name=self.axis_name,
         )
+        lift_comp = None if self.lift_impl == "gather" else comp
         x1 = LiftBlock(
             3, 16, n_rings=self.n_rings, ftype=self.ftype,
-            d_chunk=self.d_chunk, name="lift",
-        )(pos, table, (B, B + 1))
+            d_chunk=self.d_chunk, axis_name=self.axis_name, name="lift",
+        )(pos, table, (B, B + 1), lift_comp)
 
         x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table, banded)
         x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table, banded) + \

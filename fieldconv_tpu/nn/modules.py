@@ -24,7 +24,12 @@ from .init import torch_linear_bias, torch_linear_weight, xavier_uniform
 
 
 class FieldConv(lnn.Module):
-    """Field convolution layer (reference nn/field_conv.py:36-137)."""
+    """Field convolution layer (reference nn/field_conv.py:36-137).
+
+    axis_name: when set, the vertex rows are a shard_map shard of that graph
+    axis; the banded Pallas kernel runs with explicit halo exchange
+    (parallel/halo.py) — ``banded`` must then be the LOCAL BandedTable shard.
+    """
 
     in_channels: int
     out_channels: int
@@ -32,6 +37,7 @@ class FieldConv(lnn.Module):
     n_rings: int = 6
     ftype: int = 1
     d_chunk: int = 128
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, table: EdgeTable, banded=None):
@@ -47,6 +53,15 @@ class FieldConv(lnn.Module):
             zonal = self.param("zonal", xavier_uniform(), (O, I, R, 2))
             spherical = self.param("spherical", xavier_uniform(), (O, I, R, 2 * B, 2))
             phase = jnp.zeros((O, I, B + 1), dtype=x.dtype)
+        if self.axis_name is not None:
+            if banded is None:
+                raise ValueError("graph-parallel FieldConv requires a banded table")
+            from ..parallel.halo import halo_field_conv
+
+            gk = band_ops.rotated_source_tensor_kmajor(x, self.band_limit)
+            return halo_field_conv(
+                gk, banded, zonal, spherical, phase, self.ftype, self.axis_name
+            )
         if banded is not None:
             # gather-free Pallas path (ops/pallas/band_conv.py)
             return band_ops.field_conv_banded(
@@ -58,16 +73,24 @@ class FieldConv(lnn.Module):
 
 
 class TransField(lnn.Module):
-    """Learned gradient lift (reference nn/trans_field.py:27-113)."""
+    """Learned gradient lift (reference nn/trans_field.py:27-113).
+
+    When ``comp`` (a CompressedBandedTable) is passed the aggregation runs
+    gather-free over the banded layout (ops/trans_field.py::
+    trans_field_banded_contrib); with ``axis_name`` set it additionally
+    exchanges boundary rows over the shard_map graph axis.
+    """
 
     in_channels: int
     out_channels: int
     n_rings: int = 6
     ftype: int = 1
     d_chunk: int = 128
+    axis_name: Optional[str] = None
 
     @lnn.compact
-    def __call__(self, x, table: EdgeTable, lift_cols: Tuple[int, int]):
+    def __call__(self, x, table: EdgeTable, lift_cols: Tuple[int, int],
+                 comp=None):
         O, I, R = self.out_channels, self.in_channels, self.n_rings
         zonal_ang = self.param("zonalAng", xavier_uniform(), (O, I, R))
         zonal_mag = self.param("zonalMag", xavier_uniform(), (O, I, R))
@@ -75,9 +98,17 @@ class TransField(lnn.Module):
             phase = self.param("phase", xavier_uniform(), (O, I))
         else:
             phase = jnp.zeros((O, I), dtype=x.dtype)
+        halo = None
+        if self.axis_name is not None:
+            if comp is None:
+                raise ValueError("graph-parallel TransField requires a "
+                                 "CompressedBandedTable")
+            from ..parallel.halo import _exchange_halos
+
+            halo = _exchange_halos(x, comp.nh * comp.tb, self.axis_name)
         return tf_ops.trans_field(
             x, table, zonal_ang, zonal_mag, phase, self.ftype,
-            lift_cols=lift_cols, d_chunk=self.d_chunk,
+            lift_cols=lift_cols, d_chunk=self.d_chunk, comp=comp, halo=halo,
         )
 
 
@@ -142,13 +173,15 @@ class LiftBlock(lnn.Module):
     n_rings: int = 6
     ftype: int = 1
     d_chunk: int = 128
+    axis_name: Optional[str] = None
 
     @lnn.compact
-    def __call__(self, x, table: EdgeTable, lift_cols: Tuple[int, int]):
+    def __call__(self, x, table: EdgeTable, lift_cols: Tuple[int, int],
+                 comp=None):
         x = TransField(
             self.in_channels, self.out_channels, self.n_rings, self.ftype,
-            self.d_chunk, name="field",
-        )(x, table, lift_cols)
+            self.d_chunk, axis_name=self.axis_name, name="field",
+        )(x, table, lift_cols, comp)
         return TangentNonLin(self.out_channels, name="nonlin")(x)
 
 
@@ -162,6 +195,7 @@ class FCResNetBlock(lnn.Module):
     ftype: int = 1
     frontload: bool = False
     d_chunk: int = 128
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, table: EdgeTable, banded=None):
@@ -172,7 +206,7 @@ class FCResNetBlock(lnn.Module):
             oC1 = iC2 = self.out_channels
         kw = dict(
             band_limit=self.band_limit, n_rings=self.n_rings, ftype=self.ftype,
-            d_chunk=self.d_chunk,
+            d_chunk=self.d_chunk, axis_name=self.axis_name,
         )
         h = FieldConv(iC1, oC1, name="conv1", **kw)(x, table, banded)
         h = TangentNonLin(oC1, name="nonlin1")(h)
@@ -182,7 +216,16 @@ class FCResNetBlock(lnn.Module):
 
 
 class ECHO(lnn.Module):
-    """ECHO descriptor op (reference nn/echo.py:65-148); parameter-free."""
+    """ECHO descriptor op (reference nn/echo.py:65-148); parameter-free.
+
+    impl: "auto" routes to the gather-free banded path (ops/echo.py::
+    echo_banded) when ``comp`` is given (the backward of the XLA path's
+    x[src] gather is a scatter-add that dominates the op on TPU —
+    docs/KERNEL_NOTES.md; the banded windowing has a slice-only transpose).
+    "onehot"/"banded" force a path — the banded layout processes (2nh+1)×TB
+    slots per target vs the CSR path's D, so it wins when C is small
+    (correspondence yes, segmentation C=48 no; measured in KERNEL_NOTES.md).
+    """
 
     channels: int
     n_bins: int = 2
@@ -190,15 +233,24 @@ class ECHO(lnn.Module):
     # contraction wants the full D=128 depth (3-10x faster than chunked;
     # chunk only when the (N, D, C, w) intermediates would not fit HBM)
     d_chunk: int = 128
+    impl: str = "auto"
+    axis_name: Optional[str] = None
 
     def __call__(self, x, table: EdgeTable, comp=None):
-        if comp is not None:
-            # gather-free banded path (ops/echo.py::echo_banded): the backward
-            # of the XLA path's x[src] gather is a scatter-add that dominates
-            # the op on TPU (docs/KERNEL_NOTES.md); windowing by block shifts
-            # has a slice-only transpose.  Wins when C is small (the band
-            # layout processes (2nh+1)x the slots): correspondence yes,
-            # segmentation (C=48) no — measured in KERNEL_NOTES.md.
+        use_banded = (comp is not None) if self.impl == "auto" \
+            else self.impl == "banded"
+        if self.axis_name is not None:
+            if comp is None:
+                raise ValueError("graph-parallel ECHO requires a "
+                                 "CompressedBandedTable")
+            from ..parallel.halo import _exchange_halos
+
+            halo = _exchange_halos(x, comp.nh * comp.tb, self.axis_name)
+            return echo_ops.echo_banded(x, comp, self.n_bins, halo=halo)
+        if use_banded:
+            if comp is None:
+                raise ValueError("echo impl 'banded' requires a "
+                                 "CompressedBandedTable")
             return echo_ops.echo_banded(x, comp, self.n_bins)
         return echo_ops.echo(x, table, self.n_bins, d_chunk=self.d_chunk)
 
@@ -227,13 +279,15 @@ class ECHOBlock(lnn.Module):
     n_rings: int = 6
     ftype: int = 1
     d_chunk: int = 128
+    echo_impl: str = "auto"
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, table: EdgeTable, banded=None, comp=None):
         n_des = self.in_channels if self.n_des is None else self.n_des
         h = FieldConv(
             self.in_channels, n_des, self.band_limit, self.n_rings, self.ftype,
-            self.d_chunk, name="conv",
+            self.d_chunk, axis_name=self.axis_name, name="conv",
         )(x, table, banded)
         # The reference constructs TangentNonLin(in_channels) but applies it
         # to the n_des-channel conv output (echo_block.py:57,93) — only the
@@ -242,8 +296,9 @@ class ECHOBlock(lnn.Module):
         # correspondence config: in=16, n_des=12).
         h = TangentNonLin(n_des, param_width=self.in_channels,
                           name="nonlin")(h)
-        h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk, name="echo")(
-            h, table, comp)
+        h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk,
+                 impl=self.echo_impl, axis_name=self.axis_name,
+                 name="echo")(h, table, comp)
         h = h.reshape(h.shape[0], -1)
         mid = n_des * echo_ops.hist_dim(self.n_bins)
         h = lnn.relu(Linear(mid, 128, name="lin1")(h))

@@ -185,7 +185,7 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 128,
     return soft_abs(hist.reshape(N, C, dS, 2))
 
 
-def echo_banded(x, comp, n_bins: int, block_chunk: int = 4):
+def echo_banded(x, comp, n_bins: int, block_chunk: int = 4, halo=None):
     """Gather-free ECHO over the banded slot layout (CompressedBandedTable).
 
     Semantically identical to `echo` (reference nn/echo.py:65-148) but the
@@ -198,7 +198,11 @@ def echo_banded(x, comp, n_bins: int, block_chunk: int = 4):
 
     comp: precomp.banded.CompressedBandedTable (planes r, e^{iθ}, wxp).
     x: (N, C, 2) with N == comp.n_pad.  Returns (N, C, dS).
+    halo: optional (left, right) boundary rows for a shard_map graph axis
+    (see precomp.banded.window_blocks); None = single-device zero padding.
     """
+    from ..precomp.banded import window_blocks
+
     sten = comp.sten_band                       # (nb, 5, TB, W')
     nb_, _, TB, Wp = sten.shape
     nh = comp.nh
@@ -211,19 +215,12 @@ def echo_banded(x, comp, n_bins: int, block_chunk: int = 4):
     fold_np[np.arange(w * w), dmap_np] = 1.0
     fold = jnp.asarray(fold_np)
 
-    unit_conj = cconj(soft_unit(x))             # (N, C, 2)
-    nonzero = jnp.logical_not(is_origin(x))     # (N, C)
-
-    def window(a):
-        """(N, ...) -> (nb, W', ...): win[b, j·TB+s] = a[(b-nh+j)·TB+s]."""
-        ab = a.reshape(nb_, TB, *a.shape[1:])
-        pad = [(nh, nh)] + [(0, 0)] * a.ndim
-        ap = jnp.pad(ab, pad)
-        return jnp.concatenate([ap[j:j + nb_] for j in range(NJ)], axis=1)
-
-    xs_w = window(x)                            # (nb, W', C, 2)
-    un_w = window(unit_conj)                    # (nb, W', C, 2)
-    nz_w = window(nonzero)                      # (nb, W', C)
+    xs_w = window_blocks(x, nb_, TB, nh, halo=halo)   # (nb, W', C, 2)
+    # unit direction / origin mask derived from the windowed features (local
+    # elementwise math — avoids separate halo exchanges for each derived
+    # array; padded halo rows are exact zeros -> origin -> votes vanish)
+    un_w = cconj(soft_unit(xs_w))               # (nb, W', C, 2)
+    nz_w = jnp.logical_not(is_origin(xs_w))     # (nb, W', C)
 
     r = sten[:, 0]                                           # (nb, TB, W')
     ln = jnp.stack([r * sten[:, 1], r * sten[:, 2]], -1)     # (nb, TB, W', 2)

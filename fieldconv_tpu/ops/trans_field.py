@@ -115,7 +115,83 @@ def trans_field_weight(contrib_ang, contrib_mag, zonal_ang, zonal_mag, phase, ft
     return jnp.sum(cpolar(rho, phi), axis=2)               # sum over in-channels
 
 
+def _phasor_power(pr, pi, f: int):
+    """(pr + i·pi)^f for integer f (|f| small: repeated multiplication)."""
+    cr, ci = jnp.ones_like(pr), jnp.zeros_like(pi)
+    qr, qi = (pr, pi) if f >= 0 else (pr, -pi)
+    for _ in range(abs(f)):
+        cr, ci = cr * qr - ci * qi, cr * qi + ci * qr
+    return cr, ci
+
+
+def trans_field_banded_contrib(x, comp, lift_cols=(0, 1), halo=None):
+    """Gather-free TransField aggregation over the banded slot layout.
+
+    Same math as :func:`trans_field_contrib` (reference nn/trans_field.py:
+    104-110) but the ``x[src]`` gather is replaced by block-shift windowing
+    of x over the CompressedBandedTable planes — pure slices, so the backward
+    contains no scatter (the XLA path's backward scatter-add dominated the
+    lift; docs/KERNEL_NOTES.md).  Stencil columns are rebuilt in-flight from
+    the compressed planes: radial hats from the r plane, fwxp_k = wxp·e^{ikθ}
+    from phasor powers (k = lift column − band_limit).
+
+    The magnitude stencil uses rsten·|wxp| directly instead of the XLA
+    path's softAbs(rsten⊗fwxp); they differ only on slots whose stencil
+    magnitude is below EPS=1e-7 (where softAbs clamps to exactly 0), an
+    O(1e-7) perturbation.
+
+    x: (N, C) real scalars, N == comp.n_pad.
+    halo: optional (left, right) boundary rows of x for a shard_map graph
+    axis (precomp.banded.window_blocks); None = zero padding.
+    Returns contribAng (N, C, R, 2), contribMag (N, C, R).
+    """
+    from ..ops.pallas.band_conv import _hats_from_r
+    from ..precomp.banded import window_blocks
+
+    sten = comp.sten_band                        # (nb, 5, TB, W')
+    nb, _, TB, Wp = sten.shape
+    nh, B, R = comp.nh, comp.band_limit, comp.n_rings
+    N, C = x.shape
+
+    xs = window_blocks(x, nb, TB, nh, halo=halo)   # (nb, W', C)
+
+    rv = sten[:, 0]                                # (nb, TB, W')
+    hats = _hats_from_r(rv, R)                     # (R, nb, TB, W')
+    pr, pi = sten[:, 1], sten[:, 2]
+    wr, wi = sten[:, 3], sten[:, 4]
+
+    k0, k1 = lift_cols
+    e1r, e1i = _phasor_power(pr, pi, k1 - B)
+    f1 = jnp.stack([wr * e1r - wi * e1i, wr * e1i + wi * e1r], -1)  # (nb,TB,W',2)
+
+    # angular: -Σ_w hats[r]·f1[p]·(xs[w,c] − x[t,c])
+    #        = -(Σ_w hats·f1·xs[w]  −  x[t]·Σ_w hats·f1)
+    s1 = hats[..., None] * f1[None]                # (R, nb, TB, W', 2)
+    part = jnp.einsum("rbtwp,bwc->btcrp", s1, xs,
+                      preferred_element_type=jnp.float32)
+    ssum = jnp.sum(s1, axis=3)                     # (R, nb, TB, 2)
+    xt = x.reshape(nb, TB, C)
+    ang = -(part - xt[..., None, None] * jnp.transpose(
+        ssum, (1, 2, 0, 3))[:, :, None])           # (nb, TB, C, R, 2)
+
+    # magnitude: Σ_w hats[r]·|wxp|·xs[w,c]  (|fwxp_k| = |wxp|, unit phasor)
+    wmag = jnp.sqrt(wr * wr + wi * wi)             # (nb, TB, W')
+    sm = hats * wmag[None]                         # (R, nb, TB, W')
+    mag = jnp.einsum("rbtw,bwc->btcr", sm, xs,
+                     preferred_element_type=jnp.float32)
+
+    return ang.reshape(N, C, R, 2), mag.reshape(N, C, R)
+
+
 def trans_field(x, table, zonal_ang, zonal_mag, phase, ftype, lift_cols=(0, 1),
-                d_chunk: int = 128):
-    ang, mag = trans_field_contrib(x, table, lift_cols=lift_cols, d_chunk=d_chunk)
+                d_chunk: int = 128, comp=None, halo=None):
+    """TransField lift.  When ``comp`` (a CompressedBandedTable) is given the
+    aggregation runs gather-free over the banded layout; otherwise the
+    padded-CSR gather path is used."""
+    if comp is not None:
+        ang, mag = trans_field_banded_contrib(x, comp, lift_cols=lift_cols,
+                                              halo=halo)
+    else:
+        ang, mag = trans_field_contrib(x, table, lift_cols=lift_cols,
+                                       d_chunk=d_chunk)
     return trans_field_weight(ang, mag, zonal_ang, zonal_mag, phase, ftype)

@@ -262,6 +262,31 @@ def build_compressed_banded(
     )
 
 
+def window_blocks(a, nb: int, tb: int, nh: int, halo=None):
+    """Window a per-vertex array by padded block shifts: the banded-layout
+    replacement for the ``x[src]`` gather.
+
+    a: (N, ...) with N == nb·tb.  Returns (nb, W', ...) where
+    win[b, j·tb + s] = a[(b - nh + j)·tb + s] for j in 0..2nh — pure slices,
+    whose transpose is again slicing, so backward passes contain no scatter.
+
+    halo: optional (left, right) rows of shape (nh·tb, ...) supplying the
+    out-of-range blocks (the ppermuted ring-neighbor boundary rows under a
+    shard_map graph axis; parallel/halo.py).  None pads with zeros (single
+    device: out-of-range slots carry zero stencil anyway).
+    """
+    NJ = 2 * nh + 1
+    if halo is None:
+        ab = a.reshape(nb, tb, *a.shape[1:])
+        pad = [(nh, nh)] + [(0, 0)] * a.ndim
+        ap = jnp.pad(ab, pad)
+    else:
+        left, right = halo
+        ext = jnp.concatenate([left, a, right], axis=0)
+        ap = ext.reshape(nb + 2 * nh, tb, *a.shape[1:])
+    return jnp.concatenate([ap[j:j + nb] for j in range(NJ)], axis=1)
+
+
 def reorder_precompute(perm: np.ndarray, supp_edges: np.ndarray, *vertex_arrays):
     """Apply a vertex permutation: vertex v becomes position perm_pos[v].
 

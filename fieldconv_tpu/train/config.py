@@ -50,6 +50,11 @@ class ExperimentConfig:
     # (gather-free block-window path; wins when n_des is small — measured
     # trade-off in docs/KERNEL_NOTES.md).  "banded" requires banded_tb.
     echo_impl: str = "onehot"
+    # Lift (TransField) implementation: "banded" (gather-free, whenever a
+    # CompressedBandedTable is available — strictly faster on TPU; the XLA
+    # gather's scatter-add transpose dominated the lift, KERNEL_NOTES.md) or
+    # "gather" (padded-CSR path; also the fallback when banded_tb is unset).
+    lift_impl: str = "banded"
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 5
     # metrics readback cadence: device losses are fetched to host in chunks
@@ -66,6 +71,10 @@ class ExperimentConfig:
             raise ValueError(
                 f"echo_impl must be 'onehot' or 'banded', got "
                 f"{self.echo_impl!r}")
+        if self.lift_impl not in ("gather", "banded"):
+            raise ValueError(
+                f"lift_impl must be 'gather' or 'banded', got "
+                f"{self.lift_impl!r}")
         if self.ftype not in (0, 1, 2):
             raise ValueError(f"ftype must be 0/1/2, got {self.ftype}")
 

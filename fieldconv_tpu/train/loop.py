@@ -32,19 +32,23 @@ from .trainer import (
 )
 
 
-def build_model(config: ExperimentConfig, n_classes: int):
+def build_model(config: ExperimentConfig, n_classes: int,
+                axis_name: Optional[str] = None):
     kw = dict(band_limit=config.band_limit, n_rings=config.n_rings,
-              ftype=config.ftype, d_chunk=config.d_chunk)
+              ftype=config.ftype, d_chunk=config.d_chunk,
+              lift_impl=config.lift_impl, axis_name=axis_name)
     if config.task == "classification":
         return ClassificationNet(n_classes=n_classes, nf=config.nf, **kw)
     if config.task == "segmentation":
         return SegmentationNet(n_classes=n_classes, nf=config.nf,
                                n_des=config.n_des or config.nf,
-                               n_bins=config.n_bins, **kw)
+                               n_bins=config.n_bins,
+                               echo_impl=config.echo_impl, **kw)
     if config.task == "correspondence":
         return CorrespondenceNet(n_classes=n_classes, nf=config.nf,
                                  n_des=config.n_des or 12,
-                                 n_bins=config.n_bins, **kw)
+                                 n_bins=config.n_bins,
+                                 echo_impl=config.echo_impl, **kw)
     if config.task == "matching":
         return MatchingNet(nf=config.nf, **kw)
     raise ValueError(config.task)
@@ -62,6 +66,10 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
             "target-block size (pass banded_tb=, or use echo_impl='onehot')")
     if n_pad is None or d_slots is None:
         n_pad, d_slots = shared_bucket(records)
+    # compressed tables feed the banded ECHO path and/or the gather-free lift
+    need_comp = banded_tb is not None and (
+        (config.echo_impl == "banded" and echo_task)
+        or config.lift_impl == "banded")
     batches = []
     for lo in range(0, len(records), batch_size):
         group = records[lo:lo + batch_size]
@@ -71,10 +79,8 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
                             n_pad=n_pad, d_slots=d_slots)
             items.append((r.padded_pos(n_pad, center=config.center), table,
                           r.padded_labels(n_pad)))
-        use_banded_echo = (config.echo_impl == "banded" and echo_task
-                           and banded_tb is not None)
         batches.append(stack_batch(items, banded_tb=banded_tb,
-                                   echo_banded=use_banded_echo))
+                                   echo_banded=need_comp))
     return batches
 
 
@@ -204,13 +210,15 @@ def fit_matching(
         (test_source_records or []) + (test_target_records or [])
     n_pad, d_slots = shared_bucket(all_records)
 
+    need_comp = banded_tb is not None and config.lift_impl == "banded"
+
     def to_batch(rec):
         table = rec.table(config.band_limit, config.n_rings,
                           n_pad=n_pad, d_slots=d_slots)
         return stack_batch(
             [(rec.padded_pos(n_pad, center=config.center), table,
               rec.padded_labels(n_pad))],
-            banded_tb=banded_tb,
+            banded_tb=banded_tb, echo_banded=need_comp,
         )
 
     batches_s = [to_batch(r) for r in source_records]

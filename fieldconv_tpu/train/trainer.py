@@ -60,7 +60,9 @@ def stack_batch(items, banded_tb: Optional[int] = None,
     banded_tb: when set, also build + stack BandedTables (Pallas conv path)
     with that target-block size.
     echo_banded: when set (requires banded_tb), also build the compressed
-    banded tables driving the gather-free ECHO path (ops/echo.py::echo_banded).
+    banded tables that drive the gather-free ECHO path
+    (ops/echo.py::echo_banded) and the gather-free lift
+    (ops/trans_field.py::trans_field_banded_contrib).
     """
     poss, tables, labels = zip(*items)
     t0 = tables[0]

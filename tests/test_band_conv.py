@@ -299,3 +299,49 @@ def test_echo_banded_matches_xla(rng):
     g_band = jax.grad(loss_band)(x)
     np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_ref),
                                atol=3e-5, rtol=2e-5)
+
+
+def test_trans_field_banded_matches_xla(rng):
+    """Gather-free banded lift == XLA gather lift (values + grads, both
+    lift-column choices incl. the legacy classification slice)."""
+    from fieldconv_tpu.precomp.banded import build_compressed_banded
+    from fieldconv_tpu.ops.trans_field import (
+        trans_field,
+        trans_field_banded_contrib,
+        trans_field_contrib,
+    )
+
+    g = banded_graph(rng)
+    table, _ = tables_for(g, tb=8)
+    comp = build_compressed_banded(table, tb=8)
+    N, C, O, R, B = table.n_pad, 3, 5, g["R"], g["B"]
+    x = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+
+    for cols in [(0, 1), (B, B + 1)]:
+        a0, m0 = trans_field_contrib(x, table, lift_cols=cols, d_chunk=1024)
+        a1, m1 = trans_field_banded_contrib(x, comp, lift_cols=cols)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=2e-5)
+
+    za = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    zm = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C)), jnp.float32)
+
+    def loss(f):
+        def l(x, za, zm, ph):
+            y = f(x, za, zm, ph)
+            return jnp.sum(y ** 2 + y)
+        return l
+
+    f_ref = lambda x, za, zm, ph: trans_field(
+        x, table, za, zm, ph, 1, lift_cols=(B, B + 1), d_chunk=1024)
+    f_band = lambda x, za, zm, ph: trans_field(
+        x, None, za, zm, ph, 1, lift_cols=(B, B + 1), comp=comp)
+    np.testing.assert_allclose(
+        np.asarray(f_band(x, za, zm, ph)), np.asarray(f_ref(x, za, zm, ph)),
+        atol=2e-5)
+    g_ref = jax.grad(loss(f_ref), argnums=(0, 1, 2, 3))(x, za, zm, ph)
+    g_band = jax.grad(loss(f_band), argnums=(0, 1, 2, 3))(x, za, zm, ph)
+    for a, b in zip(g_band, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)

@@ -68,3 +68,35 @@ def test_segmentation_comp_echo_matches(rng):
     y_ref = net.apply(params, pos, table)
     np.testing.assert_allclose(np.asarray(y_comp[0]), np.asarray(y_ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_mixed_nh_batch_comp_parity(rng):
+    """Two meshes with different bandwidths stacked into one batch: the
+    widened compressed tables (_pad_comp's R_SENTINEL/zero slots) must give
+    the same per-mesh outputs as each mesh's own unwidened comp table
+    (ADVICE r1 #3)."""
+    from fieldconv_tpu.models import SegmentationNet
+
+    g_narrow = banded_graph(rng, n_vertices=64, tb=8, bw=7)    # nh = 1
+    g_wide = banded_graph(rng, n_vertices=64, tb=8, bw=14)     # nh = 2
+    t_n, _ = tables_for(g_narrow, tb=8)
+    t_w, _ = tables_for(g_wide, tb=8)
+    pos_n = np.asarray(rng.normal(size=(t_n.n_pad, 3)), np.float32)
+    pos_w = np.asarray(rng.normal(size=(t_w.n_pad, 3)), np.float32)
+    labels = np.zeros(t_n.n_pad, np.int32)
+
+    net = SegmentationNet(n_classes=4, nf=6, n_des=6, n_bins=2,
+                          band_limit=2, n_rings=6)
+    params = net.init(jax.random.key(0), jnp.asarray(pos_n), t_n)
+
+    batch = stack_batch([(pos_n, t_n, labels), (pos_w, t_w, labels)],
+                        banded_tb=8, echo_banded=True)
+    assert batch.comp is not None and batch.comp.nh == 2
+    y = batched_apply(net, params, batch)
+
+    for i, (pos, tab) in enumerate([(pos_n, t_n), (pos_w, t_w)]):
+        single = stack_batch([(pos, tab, labels)], banded_tb=8,
+                             echo_banded=True)
+        y_one = batched_apply(net, params, single)
+        np.testing.assert_allclose(np.asarray(y[i]), np.asarray(y_one[0]),
+                                   atol=5e-5, rtol=5e-5)
