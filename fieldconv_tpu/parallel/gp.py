@@ -118,10 +118,23 @@ def _label_spec(labels) -> P:
     return P("data", "graph") if labels.ndim > 1 else P("data")
 
 
-def place_gp_batch(gpb: GPBatch, mesh: Mesh) -> GPBatch:
-    """Put a host GPBatch onto the ('data','graph') device mesh."""
+def place_gp_batch(gpb: GPBatch, mesh: Mesh,
+                   process_local: bool = False) -> GPBatch:
+    """Put a host GPBatch onto the ('data','graph') device mesh.
+
+    process_local=True (multi-process runs): each process materializes only
+    its own data-axis rows of the batch — gpb must still be the full-batch
+    layout on every process, but only the local slice is read (process-local
+    data loading; parallel/distributed.py)."""
+    from .distributed import place_global, process_local_batch_slice
+
+    n_items = gpb.pos.shape[0]
+    sl = (process_local_batch_slice(n_items, mesh)
+          if process_local and jax.process_count() > 1 else slice(None))
+
     def put(x, spec):
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+        return place_global(np.asarray(x[sl]), mesh, spec,
+                            process_local=process_local)
 
     dg = P("data", "graph")
     return GPBatch(

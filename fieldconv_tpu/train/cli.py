@@ -32,6 +32,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="force jax platform (tpu/cpu)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or env FIELDCONV_COORDINATOR)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -41,6 +46,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    # multi-host bootstrap (must precede any jax device use)
+    from ..parallel.distributed import initialize
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
 
     from .config import PRESETS, ExperimentConfig
     from .loop import fit, fit_matching
