@@ -224,6 +224,7 @@ def main():
         fuse = os.environ.get("BENCH_FUSE", "1") != "0"
         gres_env = os.environ.get("BENCH_G_RESIDENT")  # "1"/"0"/unset=auto
         gres = None if gres_env is None else gres_env != "0"
+        pipe = os.environ.get("BENCH_PIPELINE", "auto")  # auto/grid/mega
         tb = int(os.environ.get("BENCH_TB", "128"))
         banded = build_banded_table(table_np, tb=tb)
         banded = jax.device_put(banded)
@@ -233,7 +234,7 @@ def main():
         def fwd(x, zonal, sph, phase, bias, banded):
             y = field_conv_banded(x, banded, zonal, sph, phase, 1,
                                   precision=precision, fuse_filters=fuse,
-                                  g_resident=gres)
+                                  g_resident=gres, pipeline=pipe)
             return jnp.sum(soft_abs(modrelu(y, bias)))
 
         tbl_arg = banded

@@ -486,6 +486,276 @@ def _band_fused_bwd(tb, nh, n_rings, k_width, precision, gres, res, dy):
 _band_fused.defvjp(_band_fused_fwd, _band_fused_bwd)
 
 
+# --- mega kernel: single grid step, manual double-buffered stencil DMA -----
+#
+# The implicit grid pipeline was measured ~90% per-step-overhead-bound
+# (docs/KERNEL_NOTES.md: load-only ≈ full kernel; contiguous streams reach
+# ~2TB/s vs ~200GB/s through the pipeline).  This variant runs the whole
+# band contraction as ONE grid step: g / wmat / dy / outputs live whole in
+# VMEM (fetched exactly once), and the 16-plane packed stencil — the
+# dominant stream — is hand-pipelined from HBM with make_async_copy into two
+# VMEM slots (compute block b while block b+1 streams).  The backward
+# additionally accumulates dG in a VMEM-resident (N, M) buffer via aligned
+# block shifts (read-modify-write, serial so deterministic), eliminating the
+# (nb·NJ·TB, M) parts tensor and the XLA shift-combine pass entirely.
+#
+# VMEM cost is O(N·M), so the mega path is routed by footprint: see
+# _mega_fits / field_conv_banded(pipeline=...).
+
+
+def _mega_sten_io(sten_hbm, slots, sems):
+    def start(sl, b):
+        pltpu.make_async_copy(sten_hbm.at[b], slots.at[sl], sems.at[sl]).start()
+
+    def wait(sl, b):
+        pltpu.make_async_copy(sten_hbm.at[b], slots.at[sl], sems.at[sl]).wait()
+
+    return start, wait
+
+
+def _gj_mega(g_ref, b, nh, nb, TB, C2):
+    """Slot accessor over VMEM-whole g with a traced block index."""
+    def get(j, k):
+        row0 = jnp.clip(b - nh + j, 0, nb - 1) * TB
+        return g_ref[pl.ds(row0, TB), k * C2:(k + 1) * C2]
+    return get
+
+
+def _mega_planes(sref, R, j, TB):
+    """Packed-plane accessors on a (R+2K, TB, NJ·TB) slot ref view."""
+    rs = sref[:R, :, j * TB:(j + 1) * TB]
+
+    def f(k):
+        return (sref[R + 2 * k, :, j * TB:(j + 1) * TB],
+                sref[R + 2 * k + 1, :, j * TB:(j + 1) * TB])
+
+    return rs, f
+
+
+def _mega_contrib(get_gj, sref, scratch, *, R, K, C, TB, NJ, mxu_dtype):
+    C2 = 2 * C
+    for k in range(K):
+        acc_a = jnp.zeros((R * TB, C2), jnp.float32)
+        acc_b = jnp.zeros((R * TB, C2), jnp.float32)
+        for j in range(NJ):
+            rs, f = _mega_planes(sref, R, j, TB)
+            fre, fim = f(k)
+            s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            gj = get_gj(j, k).astype(mxu_dtype)
+            acc_a += jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            acc_b += jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        scratch[:, (2 * k) * C:(2 * k + 1) * C] = acc_a[:, :C] - acc_b[:, C:]
+        scratch[:, (2 * k + 1) * C:(2 * k + 2) * C] = acc_a[:, C:] + acc_b[:, :C]
+
+
+def _mega_loop(nb, start, wait, compute):
+    """Double-buffered block schedule with static slot ids: process block
+    pairs (slot 0, slot 1); refill a slot only after its compute."""
+    start(0, 0)
+    if nb > 1:
+        start(1, 1)
+
+    def body(i, _):
+        b0 = 2 * i
+        wait(0, b0)
+        compute(0, b0)
+
+        @pl.when(b0 + 2 < nb)
+        def _():
+            start(0, b0 + 2)
+
+        wait(1, b0 + 1)
+        compute(1, b0 + 1)
+
+        @pl.when(b0 + 3 < nb)
+        def _():
+            start(1, b0 + 3)
+
+        return 0
+
+    jax.lax.fori_loop(0, nb // 2, body, 0)
+    if nb % 2:
+        b = nb - 1
+        wait(0, b)
+        compute(0, b)
+
+
+def _fwd_mega_kernel(g_ref, sten_hbm, w_ref, out_ref, slots, sems, contrib,
+                     *, R, K, C, TB, NJ, O2, nb, nh, mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+        _mega_contrib(_gj_mega(g_ref, b, nh, nb, TB, 2 * C), sref, contrib,
+                      R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        y = jnp.zeros((TB, O2), jnp.float32)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            y += jnp.dot(cr, w_ref[r].astype(mxu_dtype),
+                         preferred_element_type=jnp.float32)
+        out_ref[pl.ds(b * TB, TB), :] = y
+
+    _mega_loop(nb, start, wait, compute)
+
+
+def _bwd_mega_kernel(dy_ref, g_ref, sten_hbm, w_ref, dg_ref, dw_ref,
+                     slots, sems, contrib, dcontrib,
+                     *, R, K, C, TB, NJ, O2, nb, nh, mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+    C2 = 2 * C
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+
+    dg_ref[:] = jnp.zeros_like(dg_ref)
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+        get_gj = _gj_mega(g_ref, b, nh, nb, TB, C2)
+        _mega_contrib(get_gj, sref, contrib,
+                      R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        dy = dy_ref[pl.ds(b * TB, TB), :].astype(mxu_dtype)       # (TB, O2)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            dw_ref[r] += jax.lax.dot_general(
+                cr, dy, contract_rows, preferred_element_type=jnp.float32)
+            dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+                dy, w_ref[r].astype(mxu_dtype), contract_cols,
+                preferred_element_type=jnp.float32)
+        # transposed band contraction, accumulated straight into dG: the
+        # (b, j) partial belongs to source block b-nh+j; out-of-range js
+        # carry zero stencil planes, so the clipped row add is a no-op
+        for j in range(NJ):
+            rs, f = _mega_planes(sref, R, j, TB)
+            row0 = jnp.clip(b - nh + j, 0, nb - 1) * TB
+            for k in range(K):
+                fre, fim = f(k)
+                s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+                s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+                d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+                p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                         preferred_element_type=jnp.float32)
+                p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                         preferred_element_type=jnp.float32)
+                dg_ref[pl.ds(row0, TB), (2 * k) * C:(2 * k + 1) * C] += \
+                    p1[:, :C] + p2[:, C:]
+                dg_ref[pl.ds(row0, TB), (2 * k + 1) * C:(2 * k + 2) * C] += \
+                    p1[:, C:] - p2[:, :C]
+
+    _mega_loop(nb, start, wait, compute)
+
+
+_MEGA_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def _mega_fits(N, M, O2, R, K, TB, NJ):
+    """Whether the mega kernels' VMEM-whole working set fits the budget
+    (bwd is the larger: dy + g + dG + dW + wmat + 2 stencil slots +
+    contrib + dcontrib)."""
+    f = 4
+    sten_slot = (R + 2 * K) * TB * NJ * TB * f
+    need = (N * O2 * f + 2 * N * M * f + 2 * R * M * O2 * f
+            + 2 * sten_slot + 2 * R * TB * M * f)
+    return need <= _MEGA_VMEM_BUDGET
+
+
+def _band_fused_mega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
+                              precision):
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    return pl.pallas_call(
+        functools.partial(_fwd_mega_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, nb=nb, nh=nh,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, O2), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(g, sten_band, wmat)
+
+
+def _band_fused_mega_bwd_impl(dy, g, wmat, sten_band, tb, nh, n_rings,
+                              k_width, precision):
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    dg, dw = pl.pallas_call(
+        functools.partial(_bwd_mega_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, nb=nb, nh=nh,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((N, O2), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(dy, g, sten_band, wmat)
+    return dg, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _band_fused_mega(g, wmat, sten_band, tb, nh, n_rings, k_width, precision):
+    return _band_fused_mega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings,
+                                     k_width, precision)
+
+
+def _band_fused_mega_fwd(g, wmat, sten_band, tb, nh, n_rings, k_width,
+                         precision):
+    y = _band_fused_mega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings,
+                                  k_width, precision)
+    return y, (g, wmat, sten_band)
+
+
+def _band_fused_mega_bwd(tb, nh, n_rings, k_width, precision, res, dy):
+    g, wmat, sten_band = res
+    dg, dw = _band_fused_mega_bwd_impl(dy, g, wmat, sten_band, tb, nh,
+                                       n_rings, k_width, precision)
+    return dg, dw, jnp.zeros_like(sten_band)
+
+
+_band_fused_mega.defvjp(_band_fused_mega_fwd, _band_fused_mega_bwd)
+
+
 # --- compressed-stencil fused kernel ---------------------------------------
 #
 # 5 planes (r, e^{iθ}, wxp) instead of R+2K; radial hats and phasor powers
@@ -755,7 +1025,8 @@ def band_contrib(g, banded: BandedTable, precision: str = "f32"):
 
 def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
                       precision: str = "f32", fuse_filters: bool = True,
-                      g_resident: bool | None = None):
+                      g_resident: bool | None = None,
+                      pipeline: str = "auto"):
     """Full field convolution over the banded layout: (N, C, 2) -> (N, O, 2).
 
     banded: BandedTable (dense packed stencil) or CompressedBandedTable.
@@ -763,10 +1034,15 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
     kernel — the contrib tensor never touches HBM.  The unfused path is
     kept for A/B benchmarking (BENCH_FUSE=0).
 
-    g_resident: keep the whole rotated-source tensor g VMEM-resident across
-    the grid (one fetch total instead of NJ block DMAs per step).  None =
-    auto, which currently always takes the block-DMA path — the resident
-    variant measured a wash on real hardware (see _use_g_resident)."""
+    pipeline: "mega" runs the whole contraction as ONE grid step with a
+    manual double-buffered stencil DMA and VMEM-resident g/dG (measured
+    ~2.4x fwd+bwd over the implicit grid pipeline); "grid" is the classic
+    per-block pipeline; "auto" (default) picks mega whenever its working
+    set fits the VMEM budget (_mega_fits).
+
+    g_resident: (grid pipeline only) keep the whole rotated-source tensor g
+    VMEM-resident across the grid.  None = off — measured a wash, the
+    stencil stream dominates (see _use_g_resident)."""
     from ..field_conv import apply_filters, filter_coefficients
 
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
@@ -783,11 +1059,23 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
         return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     if fuse_filters:
         wmat = filters_to_wmat(coeff)
-        y2 = _band_fused(
-            g, wmat, banded.sten_band,
-            banded.tb, banded.nh, banded.n_rings, banded.k_width, precision,
-            _use_g_resident(g, g_resident),
-        )
+        N, M = g.shape
+        R, K, TB = banded.n_rings, banded.k_width, banded.tb
+        NJ = 2 * banded.nh + 1
+        use_mega = pipeline == "mega" or (
+            pipeline == "auto"
+            and _mega_fits(N, M, wmat.shape[-1], R, K, TB, NJ))
+        if use_mega:
+            y2 = _band_fused_mega(
+                g, wmat, banded.sten_band,
+                banded.tb, banded.nh, banded.n_rings, banded.k_width,
+                precision)
+        else:
+            y2 = _band_fused(
+                g, wmat, banded.sten_band,
+                banded.tb, banded.nh, banded.n_rings, banded.k_width,
+                precision, _use_g_resident(g, g_resident),
+            )
         O = wmat.shape[-1] // 2
         return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     contrib = band_contrib(g, banded, precision)

@@ -345,3 +345,36 @@ def test_trans_field_banded_matches_xla(rng):
     for a, b in zip(g_band, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_mega_pipeline_matches_grid(rng):
+    """The single-grid-step manual-DMA mega kernel == the grid pipeline:
+    values and grads (x + all filter params), even/odd block counts."""
+    from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
+
+    for nv in (96, 88):                       # even / odd nb at tb=8
+        g = banded_graph(rng, n_vertices=nv, tb=8, bw=10)
+        table, banded = tables_for(g, tb=8)
+        N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+        x = jnp.asarray(np.stack([rng.normal(size=(N, C)),
+                                  rng.normal(size=(N, C))], -1), jnp.float32)
+        zon = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+        sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+        ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+        def loss(x, zon, sph, ph, pipeline):
+            y = field_conv_banded(x, banded, zon, sph, ph, 1,
+                                  pipeline=pipeline)
+            return jnp.sum(y * y), y
+
+        (l1, y1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(x, zon, sph, ph,
+                                                        "grid")
+        (l2, y2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(x, zon, sph, ph,
+                                                        "mega")
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
