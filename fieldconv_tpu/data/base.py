@@ -122,7 +122,7 @@ def process_mesh(
             sample_idx = np.arange(mesh.n)
     sample_idx = np.asarray(sample_idx, np.int64)
     supp_edges = radius_graph(v[sample_idx], epsilon, max_neighbors=max_neighbors)
-    pre = compute_log_xport(mesh, sample_idx, supp_edges)
+    pre = compute_log_xport(mesh, sample_idx, supp_edges, epsilon=epsilon)
 
     if post_axes:
         # NormalizeAxes over the FULL mesh (the reference transform sees

@@ -33,17 +33,37 @@ def radius_graph(points: np.ndarray, epsilon: float, max_neighbors: int = 512):
     """ε-ball support edges (source j, target i), j the ball center.
 
     Matches transforms/support_graph.py:56: each source j collects up to
-    `max_neighbors` targets within ε (self-edge included).  Returns (E, 2)
-    int64 sorted by source.
+    `max_neighbors` targets within ε (self-edge included), keeping the
+    CLOSEST ones when over the cap.  Returns (E, 2) int64 sorted by
+    (source, target).
+
+    Fully vectorised (no Python loop over points): kd-tree `query_pairs`
+    yields each unordered pair once; both directions plus self-edges are
+    assembled, the per-source cap is applied by ranking edges within their
+    source group after a stable (source, distance) sort, and the result is
+    re-sorted to the reference's (source, sorted target) order.  At 100k+
+    vertices this is minutes-to-milliseconds vs the per-point loop
+    (VERDICT r1 #5).
     """
     pts = np.asarray(points, dtype=np.float64)
+    n = pts.shape[0]
     tree = cKDTree(pts)
-    edges = []
-    for j, nbrs in enumerate(tree.query_ball_point(pts, epsilon)):
-        nbrs = np.asarray(nbrs, dtype=np.int64)
-        if len(nbrs) > max_neighbors:
-            d = np.linalg.norm(pts[nbrs] - pts[j], axis=1)
-            nbrs = nbrs[np.argsort(d)[:max_neighbors]]
-        for i in np.sort(nbrs):
-            edges.append((j, i))
-    return np.asarray(edges, dtype=np.int64)
+    pairs = tree.query_pairs(epsilon, output_type="ndarray")   # (P, 2), i<j
+    loop = np.arange(n, dtype=np.int64)
+    src = np.concatenate([pairs[:, 0], pairs[:, 1], loop])
+    tgt = np.concatenate([pairs[:, 1], pairs[:, 0], loop])
+
+    # per-source cap: rank edges of each source by distance (stable, so the
+    # kept set matches argsort(d)[:cap] up to exact-distance ties)
+    counts = np.bincount(src, minlength=n)
+    if counts.max(initial=0) > max_neighbors:
+        d2 = np.einsum("ij,ij->i", pts[src] - pts[tgt], pts[src] - pts[tgt])
+        order = np.lexsort((d2, src))                 # group by src, asc d2
+        src, tgt = src[order], tgt[order]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(src.size) - np.repeat(starts, counts)
+        keep = rank < max_neighbors
+        src, tgt = src[keep], tgt[keep]
+
+    order = np.lexsort((tgt, src))
+    return np.stack([src[order], tgt[order]], axis=1).astype(np.int64)

@@ -42,19 +42,20 @@ class VectorHeatSolver:
         Lc = mesh.connection_laplacian()
         self.M = M
 
-        heat = (sp.diags(M) + self.t * L).tocsc()
-        conn = (sp.diags(M).astype(np.complex128) + self.t * Lc).tocsc()
+        # operators are factorised LAZILY on first use: callers that only
+        # diffuse (e.g. the integration-weights step, fcutils `weights`)
+        # never pay for the connection/Poisson factorisations
+        self._heat_op = (sp.diags(M) + self.t * L).tocsc()
+        self._conn_op = (sp.diags(M).astype(np.complex128) + self.t * Lc).tocsc()
         # Poisson operator for the distance step; shift to make it PD.
-        poisson = (L + 1e-9 * sp.diags(np.maximum(M, 1e-12))).tocsc()
-
-        self._heat = spla.factorized(heat)
-        self._conn = spla.factorized(conn)
-        self._poisson = spla.factorized(poisson)
+        self._poisson_op = (L + 1e-9 * sp.diags(np.maximum(M, 1e-12))).tocsc()
         self._L = L
         # wider connection diffusion used to smooth lattice-scale ripple out
         # of radial direction fields (see log_map)
-        conn_s = (sp.diags(M).astype(np.complex128) + 4.0 * self.t * Lc).tocsc()
-        self._conn_smooth = spla.factorized(conn_s)
+        self._conn_smooth_op = (
+            sp.diags(M).astype(np.complex128) + 4.0 * self.t * Lc
+        ).tocsc()
+        self._facts: dict = {}
 
         # face geometry for gradient/divergence
         f, v = mesh.f, mesh.v
@@ -66,6 +67,27 @@ class VectorHeatSolver:
         nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-300)
         self._face_normal = nrm
         self._opp_edges = (e0, e1, e2)
+
+    def _fact(self, name):
+        if name not in self._facts:
+            self._facts[name] = spla.factorized(getattr(self, f"_{name}_op"))
+        return self._facts[name]
+
+    @property
+    def _heat(self):
+        return self._fact("heat")
+
+    @property
+    def _conn(self):
+        return self._fact("conn")
+
+    @property
+    def _poisson(self):
+        return self._fact("poisson")
+
+    @property
+    def _conn_smooth(self):
+        return self._fact("conn_smooth")
 
     # --- scalar heat flow --------------------------------------------------
 

@@ -549,40 +549,38 @@ def _mega_contrib(get_gj, sref, scratch, *, R, K, C, TB, NJ, mxu_dtype):
         scratch[:, (2 * k + 1) * C:(2 * k + 2) * C] = acc_a[:, C:] + acc_b[:, :C]
 
 
-def _mega_loop(nb, start, wait, compute):
-    """Double-buffered block schedule with static slot ids: process block
-    pairs (slot 0, slot 1); refill a slot only after its compute."""
-    start(0, 0)
-    if nb > 1:
-        start(1, 1)
+def _mega_loop(nb, start, wait, compute, n_slots=2):
+    """Multi-buffered block schedule with STATIC slot ids (Mosaic lowers
+    static-slot DMA descriptors far better than traced ones): the body
+    processes n_slots blocks per iteration; a slot is refilled right after
+    its compute, keeping n_slots-1 DMAs in flight to hide per-transfer
+    latency."""
+    ns = min(n_slots, nb)
+    for s in range(ns):
+        start(s, s)
 
     def body(i, _):
-        b0 = 2 * i
-        wait(0, b0)
-        compute(0, b0)
+        for s in range(ns):
+            b = i * ns + s
+            wait(s, b)
+            compute(s, b)
 
-        @pl.when(b0 + 2 < nb)
-        def _():
-            start(0, b0 + 2)
-
-        wait(1, b0 + 1)
-        compute(1, b0 + 1)
-
-        @pl.when(b0 + 3 < nb)
-        def _():
-            start(1, b0 + 3)
+            @pl.when(b + ns < nb)
+            def _():
+                start(s, b + ns)
 
         return 0
 
-    jax.lax.fori_loop(0, nb // 2, body, 0)
-    if nb % 2:
-        b = nb - 1
-        wait(0, b)
-        compute(0, b)
+    jax.lax.fori_loop(0, nb // ns, body, 0)
+    for s in range(nb % ns):                       # static tail
+        b = (nb // ns) * ns + s
+        wait(s, b)
+        compute(s, b)
 
 
 def _fwd_mega_kernel(g_ref, sten_hbm, w_ref, out_ref, slots, sems, contrib,
-                     *, R, K, C, TB, NJ, O2, nb, nh, mxu_dtype=jnp.float32):
+                     *, R, K, C, TB, NJ, O2, nb, nh, n_slots=2,
+                     mxu_dtype=jnp.float32):
     start, wait = _mega_sten_io(sten_hbm, slots, sems)
 
     def compute(sl, b):
@@ -596,12 +594,13 @@ def _fwd_mega_kernel(g_ref, sten_hbm, w_ref, out_ref, slots, sems, contrib,
                          preferred_element_type=jnp.float32)
         out_ref[pl.ds(b * TB, TB), :] = y
 
-    _mega_loop(nb, start, wait, compute)
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
 
 
 def _bwd_mega_kernel(dy_ref, g_ref, sten_hbm, w_ref, dg_ref, dw_ref,
                      slots, sems, contrib, dcontrib,
-                     *, R, K, C, TB, NJ, O2, nb, nh, mxu_dtype=jnp.float32):
+                     *, R, K, C, TB, NJ, O2, nb, nh, n_slots=2,
+                     mxu_dtype=jnp.float32):
     start, wait = _mega_sten_io(sten_hbm, slots, sems)
     C2 = 2 * C
     contract_cols = (((1,), (1,)), ((), ()))
@@ -643,10 +642,16 @@ def _bwd_mega_kernel(dy_ref, g_ref, sten_hbm, w_ref, dg_ref, dw_ref,
                 dg_ref[pl.ds(row0, TB), (2 * k + 1) * C:(2 * k + 2) * C] += \
                     p1[:, C:] - p2[:, :C]
 
-    _mega_loop(nb, start, wait, compute)
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
 
 
 _MEGA_VMEM_BUDGET = 96 * 1024 * 1024
+
+# stencil DMA slots in the mega kernels (prefetch depth n-1); override for
+# A/B runs with FIELDCONV_MEGA_SLOTS
+import os as _os
+
+_MEGA_SLOTS = int(_os.environ.get("FIELDCONV_MEGA_SLOTS", "4"))
 
 
 def _mega_fits(N, M, O2, R, K, TB, NJ):
@@ -656,7 +661,7 @@ def _mega_fits(N, M, O2, R, K, TB, NJ):
     f = 4
     sten_slot = (R + 2 * K) * TB * NJ * TB * f
     need = (N * O2 * f + 2 * N * M * f + 2 * R * M * O2 * f
-            + 2 * sten_slot + 2 * R * TB * M * f)
+            + _MEGA_SLOTS * sten_slot + 2 * R * TB * M * f)
     return need <= _MEGA_VMEM_BUDGET
 
 
@@ -671,7 +676,7 @@ def _band_fused_mega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
 
     return pl.pallas_call(
         functools.partial(_fwd_mega_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
-                          O2=O2, nb=nb, nh=nh,
+                          O2=O2, nb=nb, nh=nh, n_slots=_MEGA_SLOTS,
                           mxu_dtype=_mxu_dtype(precision)),
         in_specs=[
             pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
@@ -683,8 +688,8 @@ def _band_fused_mega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, R + 2 * K, TB, NJ * TB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_MEGA_SLOTS, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
             pltpu.VMEM((R * TB, M), jnp.float32),
         ],
         interpret=_interpret(),
@@ -703,7 +708,7 @@ def _band_fused_mega_bwd_impl(dy, g, wmat, sten_band, tb, nh, n_rings,
 
     dg, dw = pl.pallas_call(
         functools.partial(_bwd_mega_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
-                          O2=O2, nb=nb, nh=nh,
+                          O2=O2, nb=nb, nh=nh, n_slots=_MEGA_SLOTS,
                           mxu_dtype=_mxu_dtype(precision)),
         in_specs=[
             pl.BlockSpec((N, O2), lambda: (0, 0), memory_space=pltpu.VMEM),
@@ -722,8 +727,8 @@ def _band_fused_mega_bwd_impl(dy, g, wmat, sten_band, tb, nh, n_rings,
             jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, R + 2 * K, TB, NJ * TB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_MEGA_SLOTS, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
             pltpu.VMEM((R * TB, M), jnp.float32),
             pltpu.VMEM((R * TB, M), jnp.float32),
         ],
@@ -754,6 +759,199 @@ def _band_fused_mega_bwd(tb, nh, n_rings, k_width, precision, res, dy):
 
 
 _band_fused_mega.defvjp(_band_fused_mega_fwd, _band_fused_mega_bwd)
+
+
+# --- compressed mega kernel: 5-plane stencil + manual DMA ------------------
+#
+# The mega fwd floor is the stencil HBM stream; the compressed layout cuts
+# it 3.2x (5 planes vs R+2K) at the price of in-VMEM hat/phasor
+# reconstruction.  Under the per-block grid pipeline that trade measured
+# -25% (docs/KERNEL_NOTES.md step 5); under the mega pipeline the DMA
+# saving dominates.
+
+
+def _cmega_planes(sref, j, TB):
+    sl = slice(j * TB, (j + 1) * TB)
+    return (sref[0, :, sl], sref[1, :, sl], sref[2, :, sl],
+            sref[3, :, sl], sref[4, :, sl])
+
+
+def _cmega_contrib(get_gj, sref, contrib, *, R, B, C, TB, NJ, mxu_dtype):
+    C2 = 2 * C
+    contrib[:] = jnp.zeros_like(contrib)
+    for j in range(NJ):
+        rv, pr, pi, fr, fi = _cmega_planes(sref, j, TB)
+        hats = _hats_from_r(rv, R)
+        for k, f_re, f_im in _phasor_pairs(fr, fi, pr, pi, B):
+            s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            gj = get_gj(j, k).astype(mxu_dtype)
+            pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+            contrib[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+            contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+
+
+def _fwd_cmega_kernel(g_ref, sten_hbm, w_ref, out_ref, slots, sems, contrib,
+                      *, R, B, C, TB, NJ, O2, nb, nh, n_slots=2,
+                      mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+        _cmega_contrib(_gj_mega(g_ref, b, nh, nb, TB, 2 * C), sref, contrib,
+                       R=R, B=B, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        y = jnp.zeros((TB, O2), jnp.float32)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            y += jnp.dot(cr, w_ref[r].astype(mxu_dtype),
+                         preferred_element_type=jnp.float32)
+        out_ref[pl.ds(b * TB, TB), :] = y
+
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
+
+
+def _bwd_cmega_kernel(dy_ref, g_ref, sten_hbm, w_ref, dg_ref, dw_ref,
+                      slots, sems, contrib, dcontrib,
+                      *, R, B, C, TB, NJ, O2, nb, nh, n_slots=2,
+                      mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+    C2 = 2 * C
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+
+    dg_ref[:] = jnp.zeros_like(dg_ref)
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+        get_gj = _gj_mega(g_ref, b, nh, nb, TB, C2)
+        _cmega_contrib(get_gj, sref, contrib,
+                       R=R, B=B, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        dy = dy_ref[pl.ds(b * TB, TB), :].astype(mxu_dtype)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            dw_ref[r] += jax.lax.dot_general(
+                cr, dy, contract_rows, preferred_element_type=jnp.float32)
+            dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+                dy, w_ref[r].astype(mxu_dtype), contract_cols,
+                preferred_element_type=jnp.float32)
+        for j in range(NJ):
+            rv, pr, pi, fr, fi = _cmega_planes(sref, j, TB)
+            hats = _hats_from_r(rv, R)
+            row0 = jnp.clip(b - nh + j, 0, nb - 1) * TB
+            for k, f_re, f_im in _phasor_pairs(fr, fi, pr, pi, B):
+                s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
+                s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
+                d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+                p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                         preferred_element_type=jnp.float32)
+                p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                         preferred_element_type=jnp.float32)
+                dg_ref[pl.ds(row0, TB), (2 * k) * C:(2 * k + 1) * C] += \
+                    p1[:, :C] + p2[:, C:]
+                dg_ref[pl.ds(row0, TB), (2 * k + 1) * C:(2 * k + 2) * C] += \
+                    p1[:, C:] - p2[:, :C]
+
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
+
+
+def _band_cmega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, band_limit,
+                         precision):
+    N, M = g.shape
+    R, B, TB = n_rings, band_limit, tb
+    K = 2 * B + 1
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    return pl.pallas_call(
+        functools.partial(_fwd_cmega_kernel, R=R, B=B, C=C, TB=TB, NJ=NJ,
+                          O2=O2, nb=nb, nh=nh, n_slots=_MEGA_SLOTS,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, O2), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_MEGA_SLOTS, 5, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(g, sten_band, wmat)
+
+
+def _band_cmega_bwd_impl(dy, g, wmat, sten_band, tb, nh, n_rings, band_limit,
+                         precision):
+    N, M = g.shape
+    R, B, TB = n_rings, band_limit, tb
+    K = 2 * B + 1
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    dg, dw = pl.pallas_call(
+        functools.partial(_bwd_cmega_kernel, R=R, B=B, C=C, TB=TB, NJ=NJ,
+                          O2=O2, nb=nb, nh=nh, n_slots=_MEGA_SLOTS,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((N, O2), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_MEGA_SLOTS, 5, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(dy, g, sten_band, wmat)
+    return dg, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _band_cmega(g, wmat, sten_band, tb, nh, n_rings, band_limit, precision):
+    return _band_cmega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings,
+                                band_limit, precision)
+
+
+def _band_cmega_fwd(g, wmat, sten_band, tb, nh, n_rings, band_limit,
+                    precision):
+    y = _band_cmega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, band_limit,
+                             precision)
+    return y, (g, wmat, sten_band)
+
+
+def _band_cmega_bwd(tb, nh, n_rings, band_limit, precision, res, dy):
+    g, wmat, sten_band = res
+    dg, dw = _band_cmega_bwd_impl(dy, g, wmat, sten_band, tb, nh, n_rings,
+                                  band_limit, precision)
+    return dg, dw, jnp.zeros_like(sten_band)
+
+
+_band_cmega.defvjp(_band_cmega_fwd, _band_cmega_bwd)
 
 
 # --- compressed-stencil fused kernel ---------------------------------------
@@ -1050,11 +1248,23 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
                                 banded.band_limit)
     if isinstance(banded, CompressedBandedTable):
         wmat = filters_to_wmat(coeff)
-        y2 = _band_cfused(
-            g, wmat, banded.sten_band,
-            banded.tb, banded.nh, banded.n_rings, banded.band_limit,
-            precision,
-        )
+        N, M = g.shape
+        use_mega = pipeline == "mega" or (
+            pipeline == "auto"
+            and _mega_fits(N, M, wmat.shape[-1], banded.n_rings,
+                           banded.k_width, banded.tb, 2 * banded.nh + 1))
+        if use_mega:
+            y2 = _band_cmega(
+                g, wmat, banded.sten_band,
+                banded.tb, banded.nh, banded.n_rings, banded.band_limit,
+                precision,
+            )
+        else:
+            y2 = _band_cfused(
+                g, wmat, banded.sten_band,
+                banded.tb, banded.nh, banded.n_rings, banded.band_limit,
+                precision,
+            )
         O = wmat.shape[-1] // 2
         return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     if fuse_filters:

@@ -55,11 +55,16 @@ class PrecomputeResult:
     weights: np.ndarray         # (S,) integration weights
 
 
+TILED_THRESHOLD = 20_000   # mesh size above which mode="auto" goes tiled
+
+
 def compute_log_xport(
     mesh: TriMesh,
     sample_idx: np.ndarray,
     supp_edges: np.ndarray,
     batch: int = 512,
+    mode: str = "auto",
+    epsilon: Optional[float] = None,
 ) -> PrecomputeResult:
     """The computeLogXPort equivalent (transforms/compute_log_xport.py:21-53).
 
@@ -67,36 +72,51 @@ def compute_log_xport(
     log_j(i) in polar form, via batched VHM solves; per-sample integration
     weights via lumped mass snapped to geodesically-nearest samples
     (fcutils main.cpp:134-176, including the label-rounding approximation).
+
+    mode: "global" — whole-mesh multi-RHS solves (exact, O(n·S));
+    "tiled" — patch-local solves (precomp/tiled.py; O(n·patch), ~1e-2
+    log-map truncation error, required: epsilon); "auto" — tiled above
+    TILED_THRESHOLD vertices when epsilon is known.
     """
     sample_idx = np.asarray(sample_idx, dtype=np.int64)
     supp_edges = np.asarray(supp_edges, dtype=np.int64)
     S = len(sample_idx)
     E = len(supp_edges)
 
-    solver = VectorHeatSolver(mesh, t_coef=1.0)
+    use_tiled = mode == "tiled" or (
+        mode == "auto" and epsilon is not None and mesh.n > TILED_THRESHOLD)
+    if use_tiled:
+        if epsilon is None:
+            raise ValueError("mode='tiled' needs epsilon for the patch margin")
+        from .tiled import compute_log_xport_tiled
 
-    log_mag = np.zeros(E)
-    log_ang = np.zeros(E)
-    xp = np.zeros(E, dtype=np.complex128)
+        log_mag, log_ang, xp = compute_log_xport_tiled(
+            mesh, sample_idx, supp_edges, epsilon)
+    else:
+        solver = VectorHeatSolver(mesh, t_coef=1.0)
 
-    # group edges by source sample
-    order = np.argsort(supp_edges[:, 0], kind="stable")
-    src_sorted = supp_edges[order, 0]
-    tgt_sorted = supp_edges[order, 1]
+        log_mag = np.zeros(E)
+        log_ang = np.zeros(E)
+        xp = np.zeros(E, dtype=np.complex128)
 
-    for lo in range(0, S, batch):
-        hi = min(lo + batch, S)
-        cols = np.arange(lo, hi)
-        sources = sample_idx[cols]
-        r, theta = solver.log_map(sources)
-        H = solver.transport(sources)
-        sel = (src_sorted >= lo) & (src_sorted < hi)
-        e_ids = order[sel]
-        local = src_sorted[sel] - lo
-        tgt_v = sample_idx[tgt_sorted[sel]]
-        log_mag[e_ids] = r[tgt_v, local]
-        log_ang[e_ids] = theta[tgt_v, local]
-        xp[e_ids] = H[tgt_v, local]
+        # group edges by source sample
+        order = np.argsort(supp_edges[:, 0], kind="stable")
+        src_sorted = supp_edges[order, 0]
+        tgt_sorted = supp_edges[order, 1]
+
+        for lo in range(0, S, batch):
+            hi = min(lo + batch, S)
+            cols = np.arange(lo, hi)
+            sources = sample_idx[cols]
+            r, theta = solver.log_map(sources)
+            H = solver.transport(sources)
+            sel = (src_sorted >= lo) & (src_sorted < hi)
+            e_ids = order[sel]
+            local = src_sorted[sel] - lo
+            tgt_v = sample_idx[tgt_sorted[sel]]
+            log_mag[e_ids] = r[tgt_v, local]
+            log_ang[e_ids] = theta[tgt_v, local]
+            xp[e_ids] = H[tgt_v, local]
 
     # integration weights (fcutils `weights`): short-time diffusion of the
     # sample labels, rounded, lumped mass accumulated on the winning sample
@@ -145,7 +165,7 @@ def precompute_mesh(
         sample_idx = np.arange(mesh.n)
     supp_edges = radius_graph(v[sample_idx], epsilon, max_neighbors=max_neighbors)
 
-    pre = compute_log_xport(mesh, sample_idx, supp_edges)
+    pre = compute_log_xport(mesh, sample_idx, supp_edges, epsilon=epsilon)
     table = build_edge_table(
         pre.supp_edges, pre.log_mag, pre.log_ang, pre.weights, pre.xp,
         n_vertices=len(sample_idx), band_limit=band_limit, n_rings=n_rings,
