@@ -36,10 +36,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...precomp.banded import BandedTable, CompressedBandedTable
+from ...precomp.banded import (BandedTable, BlockSparseTable,
+                               CompressedBandedTable)
 
 
 def _interpret() -> bool:
@@ -761,6 +763,307 @@ def _band_fused_mega_bwd(tb, nh, n_rings, k_width, precision, res, dy):
 _band_fused_mega.defvjp(_band_fused_mega_fwd, _band_fused_mega_bwd)
 
 
+# --- block-sparse band kernels ---------------------------------------------
+#
+# Same contraction as the dense band, but panel j of target block b reads
+# source block nbr[b, j] (precomp.banded.BlockSparseTable) instead of
+# b - nh + j: on real surface meshes RCM bandwidth grows ~sqrt(N), so the
+# contiguous band's NJ = 2·ceil(bw/TB)+1 explodes (nh=25 at 163k vertices)
+# while the actual number of touched source blocks stays small and
+# constant.  Grid pipeline: nbr rides as a scalar-prefetch operand feeding
+# the g BlockSpec index maps; mega pipeline: nbr sits in SMEM and feeds
+# dynamic row slices.  Backward: per-(block, panel) dG partials are
+# combined by a block-granular scatter-add over nbr (padding panels carry
+# zero stencil, so their self-block adds are no-ops).
+
+
+def _sparse_g_specs(TB, M, NJ):
+    return [
+        pl.BlockSpec(
+            (TB, M),
+            functools.partial(lambda b, nbr_ref, jj: (nbr_ref[b, jj], 0),
+                              jj=j),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(NJ)
+    ]
+
+
+def _sparse_sten_spec(R, K, TB, NJ):
+    return pl.BlockSpec((1, R + 2 * K, TB, NJ * TB),
+                        lambda b, nbr_ref: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_sparse_kernel(nbr_ref, *refs, **kw):
+    _fwd_fused_kernel(*refs, **kw)
+
+
+def _bwd_sparse_kernel(nbr_ref, *refs, **kw):
+    _bwd_fused_kernel(*refs, **kw)
+
+
+def _sparse_combine(parts, nbr, nb, NJ, TB, M):
+    """Sum per-(block, panel) dG partials onto their owner blocks."""
+    parts = parts.reshape(nb * NJ, TB, M)
+    dg = jnp.zeros((nb, TB, M), parts.dtype).at[nbr.reshape(-1)].add(parts)
+    return dg.reshape(nb * TB, M)
+
+
+def _band_sparse_fwd_impl(g, wmat, sten_band, nbr, tb, n_rings, k_width,
+                          precision):
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = nbr.shape[1]
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+    mxu = _mxu_dtype(precision)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=_sparse_g_specs(TB, M, NJ) + [
+            _sparse_sten_spec(R, K, TB, NJ),
+            pl.BlockSpec((R, M, O2), lambda b, nbr_ref: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, O2), lambda b, nbr_ref: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_sparse_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, mxu_dtype=mxu),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(nbr, *([g] * NJ), sten_band, wmat)
+
+
+def _band_sparse_bwd_impl(dy, g, wmat, sten_band, nbr, tb, n_rings, k_width,
+                          precision):
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = nbr.shape[1]
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+    mxu = _mxu_dtype(precision)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TB, O2), lambda b, nbr_ref: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _sparse_g_specs(TB, M, NJ) + [
+            _sparse_sten_spec(R, K, TB, NJ),
+            pl.BlockSpec((R, M, O2), lambda b, nbr_ref: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NJ * TB, M), lambda b, nbr_ref: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda b, nbr_ref: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+    )
+    parts, dw = pl.pallas_call(
+        functools.partial(_bwd_sparse_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, mxu_dtype=mxu),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * NJ * TB, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(nbr, dy, *([g] * NJ), sten_band, wmat)
+    dg = _sparse_combine(parts, nbr, nb, NJ, TB, M)
+    return dg, dw
+
+
+def _fwd_sparse_mega_kernel(g_ref, sten_hbm, w_ref, nbr_ref, out_ref,
+                            slots, sems, contrib,
+                            *, R, K, C, TB, NJ, O2, nb, n_slots=2,
+                            mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+
+        def get_gj(j, k):
+            row0 = nbr_ref[b, j] * TB
+            return g_ref[pl.ds(row0, TB), k * 2 * C:(k + 1) * 2 * C]
+
+        _mega_contrib(get_gj, sref, contrib,
+                      R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        y = jnp.zeros((TB, O2), jnp.float32)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            y += jnp.dot(cr, w_ref[r].astype(mxu_dtype),
+                         preferred_element_type=jnp.float32)
+        out_ref[pl.ds(b * TB, TB), :] = y
+
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
+
+
+def _bwd_sparse_mega_kernel(dy_ref, g_ref, sten_hbm, w_ref, nbr_ref,
+                            dg_ref, dw_ref, slots, sems, contrib, dcontrib,
+                            *, R, K, C, TB, NJ, O2, nb, n_slots=2,
+                            mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+    C2 = 2 * C
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+
+    dg_ref[:] = jnp.zeros_like(dg_ref)
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+
+        def get_gj(j, k):
+            row0 = nbr_ref[b, j] * TB
+            return g_ref[pl.ds(row0, TB), k * C2:(k + 1) * C2]
+
+        _mega_contrib(get_gj, sref, contrib,
+                      R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        dy = dy_ref[pl.ds(b * TB, TB), :].astype(mxu_dtype)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            dw_ref[r] += jax.lax.dot_general(
+                cr, dy, contract_rows, preferred_element_type=jnp.float32)
+            dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+                dy, w_ref[r].astype(mxu_dtype), contract_cols,
+                preferred_element_type=jnp.float32)
+        for j in range(NJ):
+            rs, f = _mega_planes(sref, R, j, TB)
+            row0 = nbr_ref[b, j] * TB
+            for k in range(K):
+                fre, fim = f(k)
+                s_re = (rs * fre[None]).reshape(R * TB, TB).astype(mxu_dtype)
+                s_im = (rs * fim[None]).reshape(R * TB, TB).astype(mxu_dtype)
+                d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+                p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                         preferred_element_type=jnp.float32)
+                p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                         preferred_element_type=jnp.float32)
+                dg_ref[pl.ds(row0, TB), (2 * k) * C:(2 * k + 1) * C] += \
+                    p1[:, :C] + p2[:, C:]
+                dg_ref[pl.ds(row0, TB), (2 * k + 1) * C:(2 * k + 2) * C] += \
+                    p1[:, C:] - p2[:, :C]
+
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
+
+
+def _band_sparse_mega_fwd_impl(g, wmat, sten_band, nbr, tb, n_rings,
+                               k_width, precision):
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = nbr.shape[1]
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    return pl.pallas_call(
+        functools.partial(_fwd_sparse_mega_kernel, R=R, K=K, C=C, TB=TB,
+                          NJ=NJ, O2=O2, nb=nb, n_slots=_MEGA_SLOTS,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((N, O2), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_MEGA_SLOTS, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(g, sten_band, wmat, nbr)
+
+
+def _band_sparse_mega_bwd_impl(dy, g, wmat, sten_band, nbr, tb, n_rings,
+                               k_width, precision):
+    N, M = g.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = nbr.shape[1]
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    nb = N // TB
+
+    dg, dw = pl.pallas_call(
+        functools.partial(_bwd_sparse_mega_kernel, R=R, K=K, C=C, TB=TB,
+                          NJ=NJ, O2=O2, nb=nb, n_slots=_MEGA_SLOTS,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((N, O2), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_MEGA_SLOTS, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(dy, g, sten_band, wmat, nbr)
+    return dg, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _band_sparse(g, wmat, sten_band, nbr, tb, n_rings, k_width, precision,
+                 mega):
+    impl = _band_sparse_mega_fwd_impl if mega else _band_sparse_fwd_impl
+    return impl(g, wmat, sten_band, nbr, tb, n_rings, k_width, precision)
+
+
+def _band_sparse_fwd(g, wmat, sten_band, nbr, tb, n_rings, k_width,
+                     precision, mega):
+    impl = _band_sparse_mega_fwd_impl if mega else _band_sparse_fwd_impl
+    y = impl(g, wmat, sten_band, nbr, tb, n_rings, k_width, precision)
+    return y, (g, wmat, sten_band, nbr)
+
+
+def _band_sparse_bwd(tb, n_rings, k_width, precision, mega, res, dy):
+    g, wmat, sten_band, nbr = res
+    impl = _band_sparse_mega_bwd_impl if mega else _band_sparse_bwd_impl
+    dg, dw = impl(dy, g, wmat, sten_band, nbr, tb, n_rings, k_width,
+                  precision)
+    d_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+    return dg, dw, jnp.zeros_like(sten_band), d_nbr
+
+
+_band_sparse.defvjp(_band_sparse_fwd, _band_sparse_bwd)
+
+
 # --- compressed mega kernel: 5-plane stencil + manual DMA ------------------
 #
 # The mega fwd floor is the stencil HBM stream; the compressed layout cuts
@@ -1246,6 +1549,18 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)
+    if isinstance(banded, BlockSparseTable):
+        wmat = filters_to_wmat(coeff)
+        N, M = g.shape
+        use_mega = pipeline == "mega" or (
+            pipeline == "auto"
+            and _mega_fits(N, M, wmat.shape[-1], banded.n_rings,
+                           banded.k_width, banded.tb, banded.nj))
+        y2 = _band_sparse(
+            g, wmat, banded.sten_band, banded.nbr,
+            banded.tb, banded.n_rings, banded.k_width, precision, use_mega)
+        O = wmat.shape[-1] // 2
+        return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     if isinstance(banded, CompressedBandedTable):
         wmat = filters_to_wmat(coeff)
         N, M = g.shape

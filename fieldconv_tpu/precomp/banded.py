@@ -262,6 +262,108 @@ def build_compressed_banded(
     )
 
 
+@dataclasses.dataclass
+class BlockSparseTable:
+    """Block-SPARSE band: per target block an explicit list of source
+    blocks instead of a contiguous ±nh window.
+
+    The dense band's memory is N·(R+2K)·(2·bandwidth) — O(N^1.5) on real
+    surface meshes, where RCM bandwidth grows ~√N (measured: bw 3163 at
+    163k vertices → nh 25, a 37GB stencil).  A surface mesh's 128-target
+    block only ever touches a handful of source blocks, so storing the
+    neighbor-block LIST keeps the stencil at N·(R+2K)·NJ·TB with NJ
+    constant in N.  The kernel reads panel j of block b against source
+    block `nbr[b, j]` via scalar-prefetch index maps
+    (ops/pallas/band_conv.py: _band_sparse_*).
+
+      sten_band: (nb, R+2K, TB, NJ·TB) — same plane layout as BandedTable;
+      nbr: (nb, NJ) int32 — source block per panel; padding entries point
+      at block b itself and carry all-zero stencil planes.
+    """
+
+    sten_band: jnp.ndarray
+    nbr: jnp.ndarray
+    tb: int
+    n_pad: int
+    band_limit: int
+    n_rings: int
+
+    @property
+    def nj(self) -> int:
+        return self.nbr.shape[1]
+
+    @property
+    def k_width(self) -> int:
+        return 2 * self.band_limit + 1
+
+
+jax.tree_util.register_dataclass(
+    BlockSparseTable,
+    data_fields=["sten_band", "nbr"],
+    meta_fields=["tb", "n_pad", "band_limit", "n_rings"],
+)
+
+
+def build_block_sparse_banded(
+    table: EdgeTable,
+    tb: int = 128,
+    nj_max: int | None = None,
+) -> BlockSparseTable:
+    """Build the block-sparse band from a padded-CSR EdgeTable.
+
+    Vertex order should still be locality-friendly (rcm_order) — NJ is the
+    max number of distinct source blocks any target block touches.
+    """
+    src = np.asarray(table.src)
+    mask = np.asarray(table.mask) > 0
+    rsten = np.asarray(table.rsten)
+    fwxp = np.asarray(table.fwxp)
+    N, D = src.shape
+    R, K = table.n_rings, table.k_width
+    if N % tb:
+        raise ValueError(f"n_pad={N} not a multiple of tb={tb}")
+    nb = N // tb
+
+    tgt_idx, slot_idx = np.nonzero(mask)
+    s = src[tgt_idx, slot_idx]
+    tblk = tgt_idx // tb
+    sblk = s // tb
+
+    # per target block: sorted unique source blocks
+    pair = np.unique(tblk * np.int64(nb) + sblk)
+    pb, ps = pair // nb, pair % nb
+    counts = np.bincount(pb, minlength=nb)
+    NJ = int(counts.max(initial=1))
+    if nj_max is not None and NJ > nj_max:
+        raise ValueError(f"block-sparse NJ={NJ} exceeds nj_max={nj_max}")
+    nbr = np.tile(np.arange(nb, dtype=np.int32)[:, None], (1, NJ))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    jj_of_pair = np.arange(len(pair)) - starts[pb]
+    nbr[pb, jj_of_pair] = ps
+
+    # panel index of each edge: position of its source block in nbr[tblk]
+    # (ps lists are sorted per pb, so searchsorted within the row works)
+    j = np.searchsorted(pair, tblk * np.int64(nb) + sblk) - starts[tblk]
+    wp = j * tb + (s % tb)
+    Wp = NJ * tb
+    flat = tgt_idx * np.int64(Wp) + wp
+    if len(np.unique(flat)) != len(flat):
+        raise ValueError(
+            "parallel edges cannot be represented in the band layout")
+
+    rb = np.zeros((R, N, Wp), dtype=np.float32)
+    fb = np.zeros((K, 2, N, Wp), dtype=np.float32)
+    rb[:, tgt_idx, wp] = rsten[tgt_idx, slot_idx].T
+    fb[:, :, tgt_idx, wp] = np.moveaxis(fwxp[tgt_idx, slot_idx], 0, -1)
+
+    return BlockSparseTable(
+        sten_band=jnp.asarray(pack_sten_band(rb, fb, tb)),
+        nbr=jnp.asarray(nbr),
+        tb=tb, n_pad=N,
+        band_limit=table.band_limit, n_rings=table.n_rings,
+    )
+
+
 def window_blocks(a, nb: int, tb: int, nh: int, halo=None):
     """Window a per-vertex array by padded block shifts: the banded-layout
     replacement for the ``x[src]`` gather.

@@ -20,7 +20,7 @@ def main():
     from fieldconv_tpu.precomp.pipeline import normalize_area, compute_log_xport
     from fieldconv_tpu.precomp.stencil import build_edge_table
     from fieldconv_tpu.precomp.banded import (
-        bandwidth, build_banded_table, rcm_order, reorder_precompute)
+        bandwidth, build_block_sparse_banded, rcm_order, reorder_precompute)
 
     t_all = time.time()
     v, f = icosphere(subdiv=7)
@@ -36,24 +36,35 @@ def main():
 
     mesh = TriMesh(v, f)
     sample_idx = np.arange(N)
-    t0 = time.time()
-    pre = compute_log_xport(mesh, sample_idx, edges, epsilon=eps)  # auto->tiled
-    t_pre = time.time() - t0
-    print(json.dumps({"stage": "precompute_tiled", "seconds": round(t_pre, 1)}),
-          flush=True)
+    import os
+    cache = os.environ.get("SCALE_CACHE", "/tmp/scale100k_cache.npz")
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        lm, la, xpc, w = z["lm"], z["la"], z["xp"], z["w"]
+        print(json.dumps({"stage": "precompute_tiled", "seconds": "cached"}),
+              flush=True)
+    else:
+        t0 = time.time()
+        pre = compute_log_xport(mesh, sample_idx, edges, epsilon=eps)
+        t_pre = time.time() - t0
+        lm, la, xpc, w = pre.log_mag, pre.log_ang, pre.xp, pre.weights
+        if cache:
+            np.savez(cache, lm=lm, la=la, xp=xpc, w=w)
+        print(json.dumps({"stage": "precompute_tiled",
+                          "seconds": round(t_pre, 1)}), flush=True)
 
     B, R = 1, 3   # correspondence-style filters at scale
     t0 = time.time()
-    perm = rcm_order(pre.supp_edges, N)
-    edges_r, w = reorder_precompute(perm, pre.supp_edges, pre.weights)
-    table = build_edge_table(edges_r, pre.log_mag, pre.log_ang, w, pre.xp,
+    perm = rcm_order(edges, N)
+    edges_r, w_r = reorder_precompute(perm, edges, w)
+    table = build_edge_table(edges_r, lm, la, w_r, xpc,
                              N, B, R, eps, n_multiple=128)
     bw = bandwidth(edges_r)
-    banded = build_banded_table(table, tb=128)
+    banded = build_block_sparse_banded(table, tb=128)
     t_band = time.time() - t0
     sten_gb = banded.sten_band.size * 4 / 1e9
-    print(json.dumps({"stage": "banded_table", "seconds": round(t_band, 1),
-                      "bandwidth": int(bw), "nh": banded.nh,
+    print(json.dumps({"stage": "block_sparse_table", "seconds": round(t_band, 1),
+                      "bandwidth": int(bw), "nj": banded.nj,
                       "stencil_gb": round(sten_gb, 2)}), flush=True)
 
     # on-chip step

@@ -378,3 +378,47 @@ def test_mega_pipeline_matches_grid(rng):
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_block_sparse_matches_gather(rng):
+    """Block-sparse band (per-block neighbor lists, scalar-prefetch /
+    SMEM-nbr kernels) == the XLA gather path: values and grads, both
+    pipelines, on a ragged RCM-ordered graph."""
+    from conftest import random_graph
+    from fieldconv_tpu.precomp.banded import (
+        build_block_sparse_banded, reorder_precompute)
+
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=1, R=3, epsilon=0.5)
+    perm = rcm_order(g["edges"], g["n_vertices"])
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w, g["xp"],
+                             g["n_vertices"], g["B"], g["R"], g["epsilon"],
+                             n_multiple=8)
+    sparse = build_block_sparse_banded(table, tb=8)
+    assert sparse.nj <= table.n_pad // 8
+
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(np.stack([rng.normal(size=(N, C)),
+                              rng.normal(size=(N, C))], -1), jnp.float32)
+    zon = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    def loss_ref(x, zon, sph, ph):
+        y = field_conv(x, table, zon, sph, ph, 1)
+        return jnp.sum(y * y), y
+
+    (l1, y1), g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(x, zon, sph, ph)
+    for pipe in ("grid", "mega"):
+        def loss_sp(x, zon, sph, ph):
+            y = field_conv_banded(x, sparse, zon, sph, ph, 1, pipeline=pipe)
+            return jnp.sum(y * y), y
+
+        (l2, y2), g2 = jax.value_and_grad(loss_sp, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(x, zon, sph, ph)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-4)
