@@ -185,7 +185,7 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 128,
     return soft_abs(hist.reshape(N, C, dS, 2))
 
 
-def echo_banded(x, comp, n_bins: int, block_chunk: int = 4, halo=None):
+def echo_banded(x, comp, n_bins: int, block_chunk: int = 1, halo=None):
     """Gather-free ECHO over the banded slot layout (CompressedBandedTable).
 
     Semantically identical to `echo` (reference nn/echo.py:65-148) but the
@@ -198,6 +198,10 @@ def echo_banded(x, comp, n_bins: int, block_chunk: int = 4, halo=None):
 
     comp: precomp.banded.CompressedBandedTable (planes r, e^{iθ}, wxp).
     x: (N, C, 2) with N == comp.n_pad.  Returns (N, C, dS).
+    block_chunk: target blocks per lax.map step.  1 (default) keeps the
+    (cb, TB, W', C, 2) intermediates smallest and measured 1.8x faster
+    fwd+bwd than 4 on chip at the correspondence shapes (the op is
+    HBM-intermediate-bound under XLA).
     halo: optional (left, right) boundary rows for a shard_map graph axis
     (see precomp.banded.window_blocks); None = single-device zero padding.
     """
