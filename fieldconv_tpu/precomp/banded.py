@@ -364,6 +364,109 @@ def build_block_sparse_banded(
     )
 
 
+def kd_order(points: np.ndarray, tb: int = 128) -> np.ndarray:
+    """Vertex ordering by k-d tree leaves of <= tb points (median splits,
+    depth-first).  For BLOCK layouts this beats RCM: a TB-row block is a
+    compact surface patch, so its ε-ball sources span few other patches
+    (measured at 163k vertices: panels/block mean 13 vs RCM 25.5)."""
+    from .tiled import spatial_tiles
+
+    return np.concatenate(spatial_tiles(np.asarray(points, float), tb))
+
+
+@dataclasses.dataclass
+class PanelTable:
+    """Panel-CSR band: a flat list of (target-block, source-block) PANELS.
+
+    The fixed-NJ block-sparse layout pads every target block to the MAX
+    neighbor-block count; on large meshes the mean/max gap and the ~4% slot
+    occupancy make the stencil explode (32.5GB at 163k vertices).  Here each
+    nonempty (tgt-block, src-block) pair is one (R+2K, TB, TB) panel;
+    panels are sorted by target block and the kernel iterates the grid over
+    PANELS, accumulating each block's contrib in scratch between its
+    `first` and `last` panels (ops/pallas/band_conv.py: _band_panel).
+    Memory and FLOPs scale with the ACTUAL panel count — no NJ padding.
+
+      sten: (P, R+2K, TB, TB); meta: (P, 4) int32 = (tgt, src, first, last).
+    Every target block owns >= 1 panel (empty blocks get a zero self-panel
+    so their output rows are written).
+    """
+
+    sten: jnp.ndarray
+    meta: jnp.ndarray
+    tb: int
+    n_pad: int
+    band_limit: int
+    n_rings: int
+
+    @property
+    def n_panels(self) -> int:
+        return self.meta.shape[0]
+
+    @property
+    def k_width(self) -> int:
+        return 2 * self.band_limit + 1
+
+
+jax.tree_util.register_dataclass(
+    PanelTable,
+    data_fields=["sten", "meta"],
+    meta_fields=["tb", "n_pad", "band_limit", "n_rings"],
+)
+
+
+def build_panel_table(table: EdgeTable, tb: int = 128) -> PanelTable:
+    """Build the panel-CSR band from a padded-CSR EdgeTable (vertex order
+    should be block-local, e.g. kd_order)."""
+    src = np.asarray(table.src)
+    mask = np.asarray(table.mask) > 0
+    rsten = np.asarray(table.rsten)
+    fwxp = np.asarray(table.fwxp)
+    N, D = src.shape
+    R, K = table.n_rings, table.k_width
+    if N % tb:
+        raise ValueError(f"n_pad={N} not a multiple of tb={tb}")
+    nb = N // tb
+
+    tgt_idx, slot_idx = np.nonzero(mask)
+    s = src[tgt_idx, slot_idx]
+    key = (tgt_idx // tb) * np.int64(nb) + s // tb
+    ukeys = np.unique(key)
+    # guarantee a panel per target block (self-panel, zero stencil)
+    have = np.unique(ukeys // nb)
+    missing = np.setdiff1d(np.arange(nb), have)
+    if len(missing):
+        ukeys = np.unique(np.concatenate(
+            [ukeys, missing * np.int64(nb) + missing]))
+    P = len(ukeys)
+    pan_tgt = (ukeys // nb).astype(np.int32)
+    pan_src = (ukeys % nb).astype(np.int32)
+    first = np.ones(P, np.int32)
+    first[1:] = (pan_tgt[1:] != pan_tgt[:-1]).astype(np.int32)
+    last = np.ones(P, np.int32)
+    last[:-1] = (pan_tgt[:-1] != pan_tgt[1:]).astype(np.int32)
+    meta = np.stack([pan_tgt, pan_src, first, last], axis=1)
+
+    pid = np.searchsorted(ukeys, key)
+    t_loc = tgt_idx % tb
+    s_loc = s % tb
+    flat = pid * np.int64(tb * tb) + t_loc * tb + s_loc
+    if len(np.unique(flat)) != len(flat):
+        raise ValueError(
+            "parallel edges cannot be represented in the band layout")
+
+    vals = np.concatenate(
+        [rsten[tgt_idx, slot_idx],
+         fwxp[tgt_idx, slot_idx].reshape(len(tgt_idx), 2 * K)], axis=1)
+    sten = np.zeros((P, R + 2 * K, tb, tb), dtype=np.float32)
+    sten[pid, :, t_loc, s_loc] = vals
+
+    return PanelTable(
+        sten=jnp.asarray(sten), meta=jnp.asarray(meta),
+        tb=tb, n_pad=N, band_limit=table.band_limit, n_rings=table.n_rings,
+    )
+
+
 def window_blocks(a, nb: int, tb: int, nh: int, halo=None):
     """Window a per-vertex array by padded block shifts: the banded-layout
     replacement for the ``x[src]`` gather.
