@@ -118,12 +118,13 @@ def _fwd_echo_kernel(*refs, TB, NJ, C, nbins, cc):
                 k = a_i * w + b_i
                 pieces[0][k] = se if pieces[0][k] is None else pieces[0][k] + se
                 pieces[1][k] = si if pieces[1][k] is None else pieces[1][k] + si
-        # (TB, CC, 2, w*w) -> columns c-major
-        stacked = jnp.stack(
-            [jnp.stack(pieces[0], axis=-1), jnp.stack(pieces[1], axis=-1)],
-            axis=2)                                      # (TB, CC, 2, w²)
-        out_ref[:, c0 * 2 * w * w:c1 * 2 * w * w] = stacked.reshape(
-            TB, CC * 2 * w * w)
+        # q-major output layout: column (p·w² + k)·C + c.  Mosaic cannot
+        # shape-cast a (TB, CC, 2, w²) stack into lanes (w²=25 is not a
+        # lane multiple), so emit each (TB, CC) piece as its own 2D write.
+        for p_i in range(2):
+            for k in range(w * w):
+                q = p_i * w * w + k
+                out_ref[:, q * C + c0:q * C + c1] = pieces[p_i][k]
 
 
 def _bwd_echo_kernel(*refs, TB, NJ, C, nbins, cc):
@@ -136,8 +137,6 @@ def _bwd_echo_kernel(*refs, TB, NJ, C, nbins, cc):
         for c0, c1 in _chunk_cols(C, cc):
             CC = c1 - c0
             t = _slot_tensors(sten_ref, xs_refs[j], j, TB, C, c0, c1, nbins)
-            dgc = dg_ref[:, c0 * 2 * w * w:c1 * 2 * w * w].reshape(
-                TB, CC, 2, w * w)
             dv_re = jnp.zeros_like(t["v_re"])
             dv_im = jnp.zeros_like(t["v_im"])
             dw0 = jnp.zeros_like(t["w0"])
@@ -153,8 +152,10 @@ def _bwd_echo_kernel(*refs, TB, NJ, C, nbins, cc):
                     W = (AF * (t["w0"] * BF + t["w3"] * BC)
                          + AC * (t["w2"] * BF + t["w1"] * BC))
                     k = a_i * w + b_i
-                    dgr = dgc[:, :, 0, k][:, None, :]     # (TBt, 1, CC)
-                    dgi = dgc[:, :, 1, k][:, None, :]
+                    # q-major dg layout matching the fwd's 2D writes
+                    dgr = dg_ref[:, k * C + c0:k * C + c1][:, None, :]
+                    dgi = dg_ref[:, (w * w + k) * C + c0:
+                                 (w * w + k) * C + c1][:, None, :]
                     dv_re += W * dgr
                     dv_im += W * dgi
                     dW = t["v_re"] * dgr + t["v_im"] * dgi
@@ -270,7 +271,8 @@ def echo_banded_pallas(x, comp: CompressedBandedTable, n_bins: int,
     x2 = jnp.concatenate([x[..., 0], x[..., 1]], axis=1)      # (N, 2C)
     grid = _echo_grid(x2, comp.sten_band, comp.tb, comp.nh, n_bins,
                       min(cc, C))
-    grid4 = grid.reshape(N, C, 2, w * w)
+    # kernel emits q-major columns (p·w² + k)·C + c
+    grid4 = jnp.moveaxis(grid.reshape(N, 2, w * w, C), 3, 1)  # (N, C, 2, w²)
     hist = jnp.einsum("ncpu,us->ncps", grid4, fold,
                       preferred_element_type=jnp.float32)
     return soft_abs(jnp.moveaxis(hist, 2, 3))
