@@ -13,15 +13,85 @@ gather-based XLA path.
 vs_baseline compares against bench_baseline.json — the gather-based XLA
 path's round-1 number (the reference itself publishes nothing, BASELINE.md).
 
+Budget protocol: the measurement runs in a CHILD process that appends
+progressively refined JSON lines to a progress file (a coarse host-loop
+number as soon as the first compile lands, then the honest device-loop scan
+number).  The parent waits at most BENCH_BUDGET_S seconds (default 900) and
+prints the LAST complete line — so a stalled tunnel or a hung compile still
+yields a parsed result (round 2 recorded nothing because a single in-process
+protocol hit the driver timeout before its first print).
+
 NOTE: all tables are built host-side in numpy and shipped once (device→host
 readback through the axon tunnel is ~1 MB/s).
 """
 
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
+
+
+def orchestrate():
+    """Parent: run the measurement in a child with a hard wall-clock budget;
+    always print exactly one JSON line."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    fd, progress = tempfile.mkstemp(prefix="bench_progress_", suffix=".jsonl")
+    os.close(fd)
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    env["BENCH_PROGRESS_FILE"] = progress
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=subprocess.DEVNULL)
+    deadline = time.time() + budget
+    try:
+        while child.poll() is None and time.time() < deadline:
+            time.sleep(1.0)
+        if child.poll() is None:
+            child.kill()  # exact PID of the child we spawned
+            child.wait()
+    finally:
+        line = None
+        try:
+            with open(progress) as f:
+                for raw in f:
+                    raw = raw.strip()
+                    if raw:
+                        try:
+                            json.loads(raw)
+                            line = raw
+                        except ValueError:
+                            pass
+        except OSError:
+            pass
+        try:
+            os.unlink(progress)
+        except OSError:
+            pass
+    if line is None:
+        line = json.dumps({
+            "metric": "field_conv_fwd_bwd_edges_per_s_banded",
+            "value": 0, "unit": "edges/s", "vs_baseline": 0.0,
+            "error": "no measurement completed within budget",
+        })
+    print(line, flush=True)
+
+
+def report(payload):
+    """Child: append a refined result line to the progress file (parent
+    prints the last one), or print directly when run stand-alone."""
+    line = json.dumps(payload)
+    path = os.environ.get("BENCH_PROGRESS_FILE")
+    if path:
+        with open(path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+    else:
+        print(line, flush=True)
 
 
 def build_synthetic_tables(N=8192, D=128, B=2, R=6, seed=0, bandwidth=128):
@@ -159,12 +229,12 @@ def main():
             float(loss)
             times.append((time.perf_counter() - t0) / iters)
         dt = sorted(times)[reps // 2]
-        print(json.dumps({
+        report({
             "metric": "segmentation_step_ms",
             "value": round(dt * 1e3, 2),
             "unit": "ms",
             "vs_baseline": 1.0,
-        }))
+        })
         return
 
     if impl == "model":
@@ -211,12 +281,12 @@ def main():
             times.append((time.perf_counter() - t0) / iters)
         dt = sorted(times)[reps // 2]
         edges_per_s = edges * n_convs / dt
-        print(json.dumps({
+        report({
             "metric": "classification_step_conv_edges_per_s",
             "value": round(edges_per_s),
             "unit": "edges/s",
             "vs_baseline": 1.0,
-        }))
+        })
         return
 
     if impl == "banded":
@@ -266,6 +336,34 @@ def main():
     loop_mode = os.environ.get("BENCH_LOOP", "device")
     iters, reps = 20, 5
 
+    def emit(dt):
+        vs = 1.0
+        base_path = os.path.join(os.path.dirname(__file__),
+                                 "bench_baseline.json")
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base = json.load(f)
+            if base.get("value"):
+                vs = edges / dt / base["value"]
+        report({
+            "metric": f"field_conv_fwd_bwd_edges_per_s_{impl}",
+            "value": round(edges / dt),
+            "unit": "edges/s",
+            "vs_baseline": round(vs, 4),
+        })
+
+    # --- coarse stage: host-dispatched step, first number on record as soon
+    # as the first compile lands (the refined scan protocol below overwrites
+    # it; if the tunnel stalls mid-way, this line is what the parent prints)
+    coarse_step = jax.jit(one_step)
+    xc, chk = coarse_step(x, zonal, sph, phase, bias, tbl_arg)
+    float(chk)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        xc, chk = coarse_step(xc, zonal, sph, phase, bias, tbl_arg)
+    float(chk)
+    emit((time.perf_counter() - t0) / 3)
+
     if loop_mode == "device":
         @jax.jit
         def run_batch(x, zonal, sph, phase, bias, tbl):
@@ -297,24 +395,11 @@ def main():
                 x, chk = step(x, zonal, sph, phase, bias, tbl_arg)
             float(chk)
             times.append((time.perf_counter() - t0) / iters)
-    dt = sorted(times)[reps // 2]
-    edges_per_s = edges / dt
-
-    vs_baseline = 1.0
-    base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base = json.load(f)
-        if base.get("value"):
-            vs_baseline = edges_per_s / base["value"]
-
-    print(json.dumps({
-        "metric": f"field_conv_fwd_bwd_edges_per_s_{impl}",
-        "value": round(edges_per_s),
-        "unit": "edges/s",
-        "vs_baseline": round(vs_baseline, 4),
-    }))
+    emit(sorted(times)[reps // 2])
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_NO_FORK"):
+        main()
+    else:
+        orchestrate()

@@ -247,6 +247,13 @@ class ECHO(lnn.Module):
 
             halo = _exchange_halos(x, comp.nh * comp.tb, self.axis_name)
             return echo_ops.echo_banded(x, comp, self.n_bins, halo=halo)
+        if self.impl == "pallas":
+            if comp is None:
+                raise ValueError("echo impl 'pallas' requires a "
+                                 "CompressedBandedTable")
+            from ..ops.pallas.echo_band import echo_banded_pallas
+
+            return echo_banded_pallas(x, comp, self.n_bins)
         if use_banded:
             if comp is None:
                 raise ValueError("echo impl 'banded' requires a "

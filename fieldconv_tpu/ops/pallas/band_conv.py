@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...precomp.banded import (BandedTable, BlockSparseTable,
-                               CompressedBandedTable)
+                               CompressedBandedTable, PanelTable)
 
 
 def _interpret() -> bool:
@@ -1492,6 +1492,239 @@ def _band_cfused_bwd(tb, nh, n_rings, band_limit, precision, res, dy):
 _band_cfused.defvjp(_band_cfused_fwd, _band_cfused_bwd)
 
 
+# --- panel-CSR kernels ------------------------------------------------------
+#
+# The scalable layout for 100k+-vertex meshes (precomp.banded.PanelTable):
+# the grid runs over (target-block, source-block) PANELS instead of target
+# blocks, so stencil memory and MXU work scale with the actual panel count
+# rather than nb x max-neighbor-blocks.  Forward: panels sorted by target;
+# each block's contrib accumulates in VMEM scratch between its first/last
+# panels, and the fused W contraction fires once at `last`.  Backward: a
+# SECOND panel ordering sorted by source block lets the transposed
+# contraction accumulate each source block's dG in scratch and write it
+# directly — no (P, TB, M) parts tensor, no scatter-add combine (the
+# "by-source backward grid" design from docs/KERNEL_NOTES.md).  dW
+# decomposes per panel (contrib is a sum of panel partials), so it
+# accumulates in a revisited output block like the other fused backwards.
+
+
+def _panel_pairs(sten_ref, *, R, K, B, compressed):
+    """(k, f_re, f_im) angular factors + radial hats of one panel block."""
+    if compressed:
+        rv = sten_ref[0, 0]
+        hats = _hats_from_r(rv, R)
+        pairs = _phasor_pairs(sten_ref[0, 3], sten_ref[0, 4],
+                              sten_ref[0, 1], sten_ref[0, 2], B)
+    else:
+        hats = sten_ref[0, :R]
+        pairs = [(k, sten_ref[0, R + 2 * k], sten_ref[0, R + 2 * k + 1])
+                 for k in range(K)]
+    return hats, pairs
+
+
+def _panel_accum(g_ref, sten_ref, contrib, *, R, K, B, C, TB, compressed,
+                 mxu_dtype):
+    """contrib += this panel's partial (R*TB, K*2C) contribution."""
+    C2 = 2 * C
+    hats, pairs = _panel_pairs(sten_ref, R=R, K=K, B=B, compressed=compressed)
+    for k, f_re, f_im in pairs:
+        s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
+        s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
+        gj = g_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+        pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        contrib[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+        contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+
+
+def _fwd_panel_kernel(meta_ref, g_ref, sten_ref, w_ref, out_ref, contrib,
+                      *, R, K, B, C, TB, O2, compressed,
+                      mxu_dtype=jnp.float32):
+    p = pl.program_id(0)
+
+    @pl.when(meta_ref[p, 2] == 1)
+    def _():
+        contrib[:] = jnp.zeros_like(contrib)
+
+    _panel_accum(g_ref, sten_ref, contrib, R=R, K=K, B=B, C=C, TB=TB,
+                 compressed=compressed, mxu_dtype=mxu_dtype)
+
+    @pl.when(meta_ref[p, 3] == 1)
+    def _():
+        _apply_w(contrib, w_ref, out_ref, R=R, TB=TB, O2=O2,
+                 mxu_dtype=mxu_dtype)
+
+
+def _bwd_panel_kernel(meta_s_ref, dy_ref, g_ref, sten_ref, w_ref,
+                      dg_ref, dw_ref, dcontrib, pc, dg_acc,
+                      *, R, K, B, C, TB, O2, compressed,
+                      mxu_dtype=jnp.float32):
+    p = pl.program_id(0)
+    C2 = 2 * C
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+
+    @pl.when(p == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(meta_s_ref[p, 3] == 1)
+    def _():
+        dg_acc[:] = jnp.zeros_like(dg_acc)
+
+    # dcontrib of this panel's TARGET block: per-ring dy @ W^T
+    dy = dy_ref[:].astype(mxu_dtype)                        # (TB, O2)
+    for r in range(R):
+        dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+            dy, w_ref[r].astype(mxu_dtype), contract_cols,
+            preferred_element_type=jnp.float32)
+
+    pc[:] = jnp.zeros_like(pc)
+    hats, pairs = _panel_pairs(sten_ref, R=R, K=K, B=B, compressed=compressed)
+    for k, f_re, f_im in pairs:
+        s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
+        s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
+        # panel partial contrib (for dW)
+        gj = g_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+        pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        pc[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+        pc[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+        # transposed contraction -> dG partial of this panel's SOURCE block
+        d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                 preferred_element_type=jnp.float32)
+        p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                 preferred_element_type=jnp.float32)
+        dg_acc[:, (2 * k) * C:(2 * k + 1) * C] += p1[:, :C] + p2[:, C:]
+        dg_acc[:, (2 * k + 1) * C:(2 * k + 2) * C] += p1[:, C:] - p2[:, :C]
+
+    for r in range(R):
+        cr = pc[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+        dw_ref[r] += jax.lax.dot_general(
+            cr, dy, contract_rows, preferred_element_type=jnp.float32)
+
+    @pl.when(meta_s_ref[p, 4] == 1)
+    def _():
+        dg_ref[:] = dg_acc[:]
+
+
+def _panel_sten_spec(planes, TB):
+    return pl.BlockSpec((1, planes, TB, TB),
+                        lambda p, m: (m[p, 0], 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
+                         compressed, precision):
+    N, M = g.shape
+    R, B, TB = n_rings, band_limit, tb
+    K = 2 * B + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    P, planes = sten.shape[0], sten.shape[1]
+    nb = N // TB
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((TB, M), lambda p, m: (m[p, 1], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, planes, TB, TB), lambda p, m: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, O2), lambda p, m: (m[p, 0], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_panel_kernel, R=R, K=K, B=B, C=C, TB=TB,
+                          O2=O2, compressed=compressed,
+                          mxu_dtype=_mxu_dtype(precision)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(meta, g, sten, wmat)
+
+
+def _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, tb, n_rings, band_limit,
+                         compressed, precision):
+    N, M = g.shape
+    R, B, TB = n_rings, band_limit, tb
+    K = 2 * B + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    P, planes = sten.shape[0], sten.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((TB, O2), lambda p, m: (m[p, 1], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), lambda p, m: (m[p, 2], 0),
+                         memory_space=pltpu.VMEM),
+            _panel_sten_spec(planes, TB),
+            pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, M), lambda p, m: (m[p, 2], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((TB, M), jnp.float32),
+        ],
+    )
+    dg, dw = pl.pallas_call(
+        functools.partial(_bwd_panel_kernel, R=R, K=K, B=B, C=C, TB=TB,
+                          O2=O2, compressed=compressed,
+                          mxu_dtype=_mxu_dtype(precision)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(meta_s, dy, g, sten, wmat)
+    return dg, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _band_panel(g, wmat, sten, meta, meta_s, tb, n_rings, band_limit,
+                compressed, precision):
+    return _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
+                                compressed, precision)
+
+
+def _band_panel_fwd(g, wmat, sten, meta, meta_s, tb, n_rings, band_limit,
+                    compressed, precision):
+    y = _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
+                             compressed, precision)
+    return y, (g, wmat, sten, meta_s)
+
+
+def _band_panel_bwd(tb, n_rings, band_limit, compressed, precision, res, dy):
+    g, wmat, sten, meta_s = res
+    dg, dw = _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, tb, n_rings,
+                                  band_limit, compressed, precision)
+    zero_meta = np.zeros(meta_s.shape[:1] + (4,), dtype=jax.dtypes.float0)
+    d_meta_s = np.zeros(meta_s.shape, dtype=jax.dtypes.float0)
+    return dg, dw, jnp.zeros_like(sten), zero_meta, d_meta_s
+
+
+_band_panel.defvjp(_band_panel_fwd, _band_panel_bwd)
+
+
 # --- public API ------------------------------------------------------------
 
 def rotated_source_tensor_kmajor(x, band_limit):
@@ -1549,6 +1782,14 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)
+    if isinstance(banded, PanelTable):
+        wmat = filters_to_wmat(coeff)
+        y2 = _band_panel(
+            g, wmat, banded.sten, banded.meta, banded.meta_s,
+            banded.tb, banded.n_rings, banded.band_limit,
+            banded.compressed, precision)
+        O = wmat.shape[-1] // 2
+        return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     if isinstance(banded, BlockSparseTable):
         wmat = filters_to_wmat(coeff)
         N, M = g.shape

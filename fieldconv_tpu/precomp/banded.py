@@ -381,23 +381,34 @@ class PanelTable:
     The fixed-NJ block-sparse layout pads every target block to the MAX
     neighbor-block count; on large meshes the mean/max gap and the ~4% slot
     occupancy make the stencil explode (32.5GB at 163k vertices).  Here each
-    nonempty (tgt-block, src-block) pair is one (R+2K, TB, TB) panel;
+    nonempty (tgt-block, src-block) pair is one (planes, TB, TB) panel;
     panels are sorted by target block and the kernel iterates the grid over
     PANELS, accumulating each block's contrib in scratch between its
     `first` and `last` panels (ops/pallas/band_conv.py: _band_panel).
     Memory and FLOPs scale with the ACTUAL panel count — no NJ padding.
 
-      sten: (P, R+2K, TB, TB); meta: (P, 4) int32 = (tgt, src, first, last).
-    Every target block owns >= 1 panel (empty blocks get a zero self-panel
-    so their output rows are written).
+      sten: (P, planes, TB, TB) with planes = R+2K (dense: radial weights
+        then fwxp_k re/im, the BandedTable plane layout) or 5 (compressed:
+        (r, ph_re, ph_im, wxp_re, wxp_im) with R_SENTINEL at empty slots —
+        the kernel rebuilds hats/phasors in VMEM; at 163k vertices the dense
+        panels are ~10GB while compressed is ~3GB and fits HBM).
+      meta:   (P, 4) int32 = (tgt, src, first_t, last_t), panels sorted by
+        (tgt, src); drives the forward's scratch accumulation.
+      meta_s: (P, 5) int32 = (pid, tgt, src, first_s, last_s), the same
+        panels sorted by (src, tgt); drives the by-source backward grid that
+        writes dG blocks directly (no parts tensor, no scatter).
+    Every block owns >= 1 panel as target AND >= 1 as source (missing blocks
+    get a zero self-panel so their output/dG rows are written).
     """
 
     sten: jnp.ndarray
     meta: jnp.ndarray
+    meta_s: jnp.ndarray
     tb: int
     n_pad: int
     band_limit: int
     n_rings: int
+    compressed: bool = False
 
     @property
     def n_panels(self) -> int:
@@ -410,18 +421,17 @@ class PanelTable:
 
 jax.tree_util.register_dataclass(
     PanelTable,
-    data_fields=["sten", "meta"],
-    meta_fields=["tb", "n_pad", "band_limit", "n_rings"],
+    data_fields=["sten", "meta", "meta_s"],
+    meta_fields=["tb", "n_pad", "band_limit", "n_rings", "compressed"],
 )
 
 
-def build_panel_table(table: EdgeTable, tb: int = 128) -> PanelTable:
+def build_panel_table(table: EdgeTable, tb: int = 128,
+                      compressed: bool = False) -> PanelTable:
     """Build the panel-CSR band from a padded-CSR EdgeTable (vertex order
     should be block-local, e.g. kd_order)."""
     src = np.asarray(table.src)
     mask = np.asarray(table.mask) > 0
-    rsten = np.asarray(table.rsten)
-    fwxp = np.asarray(table.fwxp)
     N, D = src.shape
     R, K = table.n_rings, table.k_width
     if N % tb:
@@ -432,9 +442,12 @@ def build_panel_table(table: EdgeTable, tb: int = 128) -> PanelTable:
     s = src[tgt_idx, slot_idx]
     key = (tgt_idx // tb) * np.int64(nb) + s // tb
     ukeys = np.unique(key)
-    # guarantee a panel per target block (self-panel, zero stencil)
-    have = np.unique(ukeys // nb)
-    missing = np.setdiff1d(np.arange(nb), have)
+    # guarantee a panel per block as TARGET and as SOURCE (zero self-panel):
+    # a block absent as target never writes its output rows; absent as
+    # source never writes its dG rows in the by-source backward grid.
+    miss_t = np.setdiff1d(np.arange(nb), np.unique(ukeys // nb))
+    miss_s = np.setdiff1d(np.arange(nb), np.unique(ukeys % nb))
+    missing = np.union1d(miss_t, miss_s)
     if len(missing):
         ukeys = np.unique(np.concatenate(
             [ukeys, missing * np.int64(nb) + missing]))
@@ -447,6 +460,16 @@ def build_panel_table(table: EdgeTable, tb: int = 128) -> PanelTable:
     last[:-1] = (pan_tgt[:-1] != pan_tgt[1:]).astype(np.int32)
     meta = np.stack([pan_tgt, pan_src, first, last], axis=1)
 
+    # src-sorted view for the backward
+    order_s = np.lexsort((pan_tgt, pan_src)).astype(np.int32)
+    s_src = pan_src[order_s]
+    first_s = np.ones(P, np.int32)
+    first_s[1:] = (s_src[1:] != s_src[:-1]).astype(np.int32)
+    last_s = np.ones(P, np.int32)
+    last_s[:-1] = (s_src[:-1] != s_src[1:]).astype(np.int32)
+    meta_s = np.stack(
+        [order_s, pan_tgt[order_s], s_src, first_s, last_s], axis=1)
+
     pid = np.searchsorted(ukeys, key)
     t_loc = tgt_idx % tb
     s_loc = s % tb
@@ -455,15 +478,35 @@ def build_panel_table(table: EdgeTable, tb: int = 128) -> PanelTable:
         raise ValueError(
             "parallel edges cannot be represented in the band layout")
 
-    vals = np.concatenate(
-        [rsten[tgt_idx, slot_idx],
-         fwxp[tgt_idx, slot_idx].reshape(len(tgt_idx), 2 * K)], axis=1)
-    sten = np.zeros((P, R + 2 * K, tb, tb), dtype=np.float32)
-    sten[pid, :, t_loc, s_loc] = vals
+    if compressed:
+        ln = np.asarray(table.ln, dtype=np.float64)
+        wxp = np.asarray(table.wxp)
+        lv = ln[tgt_idx, slot_idx]                       # (E, 2)
+        rv = np.hypot(lv[:, 0], lv[:, 1])
+        with np.errstate(invalid="ignore"):
+            ph = lv / np.maximum(rv, 1e-30)[:, None]
+        ph[rv < 1e-30] = [1.0, 0.0]                      # θ=0 at r=0 edges
+        sten = np.zeros((P, 5, tb, tb), dtype=np.float32)
+        sten[:, 0] = R_SENTINEL
+        sten[pid, 0, t_loc, s_loc] = rv
+        sten[pid, 1, t_loc, s_loc] = ph[:, 0]
+        sten[pid, 2, t_loc, s_loc] = ph[:, 1]
+        sten[pid, 3, t_loc, s_loc] = wxp[tgt_idx, slot_idx, 0]
+        sten[pid, 4, t_loc, s_loc] = wxp[tgt_idx, slot_idx, 1]
+    else:
+        rsten = np.asarray(table.rsten)
+        fwxp = np.asarray(table.fwxp)
+        vals = np.concatenate(
+            [rsten[tgt_idx, slot_idx],
+             fwxp[tgt_idx, slot_idx].reshape(len(tgt_idx), 2 * K)], axis=1)
+        sten = np.zeros((P, R + 2 * K, tb, tb), dtype=np.float32)
+        sten[pid, :, t_loc, s_loc] = vals
 
     return PanelTable(
         sten=jnp.asarray(sten), meta=jnp.asarray(meta),
+        meta_s=jnp.asarray(meta_s),
         tb=tb, n_pad=N, band_limit=table.band_limit, n_rings=table.n_rings,
+        compressed=compressed,
     )
 
 

@@ -1,0 +1,96 @@
+"""On-chip A/B: ECHO implementations at the two production shape classes.
+
+Variants: onehot (XLA separable one-hot splat, ops/echo.py::echo),
+banded (XLA gather-free windowed, ops/echo.py::echo_banded),
+pallas (in-VMEM kernel, ops/pallas/echo_band.py::echo_banded_pallas).
+
+Device-loop protocol (lax.scan of INNER iters inside one jit) — the honest
+chip step rate, per docs/KERNEL_NOTES.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_synthetic_tables
+    from fieldconv_tpu.ops.echo import echo, echo_banded
+    from fieldconv_tpu.ops.pallas.echo_band import echo_banded_pallas
+    from fieldconv_tpu.precomp.banded import build_compressed_banded
+
+    shapes = os.environ.get(
+        "ECHO_SHAPES", "corr:5120:12:2,seg:2048:48:3").split(",")
+    variants = os.environ.get("ECHO_VARIANTS", "onehot,banded,pallas").split(",")
+    mode = os.environ.get("ECHO_MODE", "fwdbwd")      # fwd | fwdbwd
+    cc = int(os.environ.get("ECHO_CC", "16"))
+    INNER = int(os.environ.get("ECHO_INNER", "10"))
+
+    for spec in shapes:
+        name, N, C, nb = spec.split(":")
+        N, C, nb = int(N), int(C), int(nb)
+        table_np = build_synthetic_tables(N=N, D=128, B=2, R=6)
+        table = jax.device_put(table_np)
+        comp = jax.device_put(build_compressed_banded(table_np, tb=128))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(N, C, 2)) * 0.5, jnp.float32)
+
+        fns = {
+            "onehot": lambda x: echo(x, table, nb, d_chunk=128),
+            "banded": lambda x: echo_banded(x, comp, nb),
+            "pallas": lambda x: echo_banded_pallas(x, comp, nb, cc=cc),
+        }
+        for vname in variants:
+            fn = fns[vname]
+
+            if mode == "fwd":
+                @jax.jit
+                def steps(x):
+                    def body(x, _):
+                        y = fn(x * 1.000001)
+                        return x + 1e-6 * jnp.mean(y), ()
+                    xf, _ = jax.lax.scan(body, x, None, length=INNER)
+                    return xf, jnp.sum(xf)
+            else:
+                def loss(x):
+                    return jnp.sum(jnp.sin(fn(x)))
+
+                @jax.jit
+                def steps(x):
+                    def body(x, _):
+                        dx = jax.grad(loss)(x)
+                        return dx * jax.lax.rsqrt(
+                            jnp.mean(dx * dx) + 1e-8) * 0.5, ()
+                    xf, _ = jax.lax.scan(body, x, None, length=INNER)
+                    return xf, jnp.sum(xf)
+
+            try:
+                t0 = time.time()
+                xf, s = steps(x)
+                float(s)
+                compile_s = time.time() - t0
+                ts = []
+                for _ in range(3):
+                    t0 = time.time()
+                    xf, s = steps(x)
+                    float(s)
+                    ts.append((time.time() - t0) / INNER)
+                dt = sorted(ts)[1]
+                print(json.dumps({
+                    "shape": name, "variant": vname, "mode": mode,
+                    "ms": round(dt * 1e3, 2),
+                    "compile_s": round(compile_s, 1)}), flush=True)
+            except Exception as e:  # noqa: BLE001 — report and keep probing
+                print(json.dumps({
+                    "shape": name, "variant": vname, "mode": mode,
+                    "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

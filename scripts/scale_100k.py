@@ -4,26 +4,42 @@ Subdivided-FAUST is not obtainable in this environment (no dataset
 archives); the stand-in is an area-normalised icosphere at subdiv 7
 (163,842 vertices — same vertex count regime).  Measures, end to end:
   1. offline precompute (vectorised radius_graph + tiled patch-local VHM)
-  2. RCM reorder + banded table build
-  3. jitted fwd+bwd FieldConv step on the real TPU chip (scan-timed)
+  2. kd-order reorder + compressed panel-CSR table build
+     (precomp/banded.py::build_panel_table — the layout whose stencil
+     memory scales with the actual panel count; the dense band is O(N^1.5)
+     and the fixed-NJ block-sparse band was measured 32.5GB at this N)
+  3. jitted fwd+bwd FieldConv step on the real TPU chip (scan-timed,
+     ops/pallas/band_conv.py::_band_panel)
 
-Writes one JSON line per stage to stdout.
+Replaces the reference's per-sample solver loop (fcutils/src/main.cpp:
+118-124) at a scale the reference cannot reach.  Writes one JSON line per
+stage to stdout.
+
+Env knobs: SCALE_SUBDIV (7), SCALE_TB (128), SCALE_CACHE (npz path).
 """
-import json, sys, time
+import json
+import os
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 import numpy as np
+
 
 def main():
     from fieldconv_tpu.data.synthetic import icosphere
     from fieldconv_tpu.geometry.mesh import TriMesh
     from fieldconv_tpu.geometry.sampling import radius_graph
-    from fieldconv_tpu.precomp.pipeline import normalize_area, compute_log_xport
+    from fieldconv_tpu.precomp.pipeline import (compute_log_xport,
+                                                normalize_area)
+    from fieldconv_tpu.precomp.banded import (build_panel_table, kd_order,
+                                              reorder_precompute)
     from fieldconv_tpu.precomp.stencil import build_edge_table
-    from fieldconv_tpu.precomp.banded import (
-        bandwidth, build_block_sparse_banded, rcm_order, reorder_precompute)
 
     t_all = time.time()
-    v, f = icosphere(subdiv=7)
+    subdiv = int(os.environ.get("SCALE_SUBDIV", "7"))
+    TB = int(os.environ.get("SCALE_TB", "128"))
+    v, f = icosphere(subdiv=subdiv)
     v = normalize_area(v, f)
     N = len(v)
     eps = float(np.sqrt(64 / (np.pi * N)))
@@ -36,7 +52,6 @@ def main():
 
     mesh = TriMesh(v, f)
     sample_idx = np.arange(N)
-    import os
     cache = os.environ.get("SCALE_CACHE", "/tmp/scale100k_cache.npz")
     if cache and os.path.exists(cache):
         z = np.load(cache)
@@ -55,20 +70,23 @@ def main():
 
     B, R = 1, 3   # correspondence-style filters at scale
     t0 = time.time()
-    perm = rcm_order(edges, N)
+    perm = kd_order(v, tb=TB)
     edges_r, w_r = reorder_precompute(perm, edges, w)
     table = build_edge_table(edges_r, lm, la, w_r, xpc,
-                             N, B, R, eps, n_multiple=128)
-    bw = bandwidth(edges_r)
-    banded = build_block_sparse_banded(table, tb=128)
+                             N, B, R, eps, n_multiple=TB)
+    panel = build_panel_table(table, tb=TB, compressed=True)
     t_band = time.time() - t0
-    sten_gb = banded.sten_band.size * 4 / 1e9
-    print(json.dumps({"stage": "block_sparse_table", "seconds": round(t_band, 1),
-                      "bandwidth": int(bw), "nj": banded.nj,
+    sten_gb = panel.sten.size * 4 / 1e9
+    nb = table.n_pad // TB
+    print(json.dumps({"stage": "panel_table", "seconds": round(t_band, 1),
+                      "n_panels": int(panel.n_panels),
+                      "panels_per_block": round(panel.n_panels / nb, 1),
                       "stencil_gb": round(sten_gb, 2)}), flush=True)
 
     # on-chip step
-    import jax, jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
+
     from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
     C = O = 16
     rng = np.random.default_rng(0)
@@ -78,7 +96,7 @@ def main():
     zon = jnp.asarray(rng.normal(size=(O, C, R)) * 0.1, jnp.float32)
     sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)) * 0.1, jnp.float32)
     ph = jnp.asarray(rng.normal(size=(O, C, B + 1)) * 0.1, jnp.float32)
-    banded_d = jax.device_put(banded)
+    panel_d = jax.device_put(panel)
     edges_n = float(np.asarray(table.mask, np.float64).sum())
 
     def loss(x, t):
@@ -86,6 +104,7 @@ def main():
         return jnp.sum(y * y)
 
     INNER = 10
+
     @jax.jit
     def steps(x, t):
         def body(x, _):
@@ -95,18 +114,23 @@ def main():
         return xf, jnp.sum(xf)
 
     t0 = time.time()
-    xf, s = steps(x0, banded_d); float(s)
-    print(json.dumps({"stage": "compile+first", "seconds": round(time.time()-t0, 1)}), flush=True)
+    xf, s = steps(x0, panel_d)
+    float(s)
+    print(json.dumps({"stage": "compile+first",
+                      "seconds": round(time.time() - t0, 1)}), flush=True)
     ts = []
     for _ in range(3):
         t0 = time.time()
-        xf, s = steps(x0, banded_d); float(s)
+        xf, s = steps(x0, panel_d)
+        float(s)
         ts.append((time.time() - t0) / INNER)
     dt = sorted(ts)[1]
     print(json.dumps({"stage": "fwd_bwd_step_tpu", "n_pad": int(Np),
                       "ms_per_step": round(dt * 1e3, 2),
                       "medges_per_s": round(edges_n / dt / 1e6)}), flush=True)
-    print(json.dumps({"stage": "total", "seconds": round(time.time()-t_all, 1)}), flush=True)
+    print(json.dumps({"stage": "total",
+                      "seconds": round(time.time() - t_all, 1)}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -456,3 +456,54 @@ def test_echo_pallas_matches_xla(rng, n_bins):
     g_pl = jax.grad(loss_pl)(x)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                atol=3e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_panel_matches_gather(rng, compressed):
+    """Panel-CSR band (grid over (tgt,src)-block panels, by-source backward
+    emitting dG directly) == the XLA gather path: values and grads on a
+    ragged kd-ordered graph, dense and compressed panel stencils."""
+    from fieldconv_tpu.precomp.banded import (
+        build_panel_table, kd_order, reorder_precompute)
+
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=1, R=3, epsilon=0.5)
+    pos = rng.normal(size=(g["n_vertices"], 3))
+    perm = kd_order(pos, tb=8)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w, g["xp"],
+                             g["n_vertices"], g["B"], g["R"], g["epsilon"],
+                             n_multiple=8)
+    panel = build_panel_table(table, tb=8, compressed=compressed)
+    nb = table.n_pad // 8
+    # panel bookkeeping invariants: sorted by tgt, every block covered both
+    # as target and as source
+    meta = np.asarray(panel.meta)
+    assert (np.diff(meta[:, 0]) >= 0).all()
+    assert set(meta[:, 0]) == set(range(nb)) and set(meta[:, 1]) == set(
+        range(nb))
+
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(np.stack([rng.normal(size=(N, C)),
+                              rng.normal(size=(N, C))], -1), jnp.float32)
+    zon = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    def loss_ref(x, zon, sph, ph):
+        y = field_conv(x, table, zon, sph, ph, 1)
+        return jnp.sum(y * y), y
+
+    (l1, y1), g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(x, zon, sph, ph)
+
+    def loss_pn(x, zon, sph, ph):
+        y = field_conv_banded(x, panel, zon, sph, ph, 1)
+        return jnp.sum(y * y), y
+
+    (l2, y2), g2 = jax.value_and_grad(loss_pn, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(x, zon, sph, ph)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
