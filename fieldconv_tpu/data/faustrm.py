@@ -43,10 +43,17 @@ class FAUSTRM(FieldConvDataset):
         label_z = np.loadtxt(
             os.path.join(labels_dir, "tr_reg_000.vts"), dtype=np.int64
         )
-        idx = range(80) if self.train else range(80, 100)
+        # reference split: first 80 of the 100 scans train, last 20 test
+        # (FAUSTRM.py:101-104); expressed as an 80% index cut so smaller
+        # fixture archives exercise the same code path
+        names = sorted(n for n in os.listdir(shapes)
+                       if n.startswith("tr_reg_") and n.endswith(".off"))
+        n_train = round(0.8 * len(names))
+        picked = names[:n_train] if self.train else names[n_train:]
         keys = []
-        for i in idx:
-            v, f = read_off(os.path.join(shapes, f"tr_reg_{i:03d}.off"))
+        for fn in picked:
+            i = int(fn[len("tr_reg_"):-len(".off")])
+            v, f = read_off(os.path.join(shapes, fn))
             # area normalisation without centering (FAUSTRM.py:78-84)
             mesh = TriMesh(v, f)
             v = v / np.sqrt(mesh.surface_area())

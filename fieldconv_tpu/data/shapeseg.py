@@ -63,6 +63,22 @@ class SHAPESEG(FieldConvDataset):
             with zipfile.ZipFile(inner_zip) as z:
                 z.extractall(base)
 
+    @staticmethod
+    def _mesh_files(mdir, ext):
+        """Mesh files in the reference's enumeration order.  The reference
+        hard-codes the counts (41 Adobe / 100 FAUST / 71 SCAPE / 18 SHREC,
+        SHAPESEG.py:113-214) and reads f"{i}{ext}" in index order; listing
+        the directory numerically is identical on the real archives and also
+        admits smaller fixture archives."""
+        names = [n for n in os.listdir(mdir) if n.endswith(ext)]
+
+        def key(n):
+            stem = n[: -len(ext)]
+            digits = "".join(c for c in stem if c.isdigit())
+            return (int(digits) if digits else 0, stem)
+
+        return sorted(names, key=key)
+
     def _process(self):
         raw = self.raw_dir()
         zpath = os.path.join(raw, "SHAPESEG.zip")
@@ -80,19 +96,18 @@ class SHAPESEG(FieldConvDataset):
             # Adobe: 41 meshes, per-mesh .pt labels (SHAPESEG.py:113-130)
             adobe = os.path.join(root, "Adobe", "raw")
             self._extract(raw, os.path.join(adobe, "adobe.zip"), "meshes")
-            for i in range(41):
-                v, f = read_ply(os.path.join(adobe, "meshes", f"{i}.ply"))
-                y = _load_pt_labels(os.path.join(adobe, "segs", f"{i}.pt"))
-                keys.append(self._build(v, f, f"adobe/{i}", y))
+            for fn in self._mesh_files(os.path.join(adobe, "meshes"), ".ply"):
+                v, f = read_ply(os.path.join(adobe, "meshes", fn))
+                y = _load_pt_labels(
+                    os.path.join(adobe, "segs", fn[:-4] + ".pt"))
+                keys.append(self._build(v, f, f"adobe/{fn[:-4]}", y))
             # FAUST: 100 registrations sharing one label file (:133-150)
             faust = os.path.join(root, "FAUST", "raw")
             self._extract(raw, os.path.join(faust, "faust.zip"), "meshes")
             y = _load_pt_labels(os.path.join(faust, "segs", "faust_seg.pt"))
-            for i in range(100):
-                v, f = read_ply(
-                    os.path.join(faust, "meshes", f"tr_reg_{i:03d}.ply")
-                )
-                keys.append(self._build(v, f, f"faust/{i}", y))
+            for fn in self._mesh_files(os.path.join(faust, "meshes"), ".ply"):
+                v, f = read_ply(os.path.join(faust, "meshes", fn))
+                keys.append(self._build(v, f, f"faust/{fn[:-4]}", y))
             # MIT: edge labels per mesh (:152-170)
             mit = os.path.join(root, "MIT", "raw")
             self._extract(raw, os.path.join(mit, "mit.zip"), "meshes")
@@ -108,15 +123,16 @@ class SHAPESEG(FieldConvDataset):
             scape = os.path.join(root, "SCAPE", "raw")
             self._extract(raw, os.path.join(scape, "scape.zip"), "meshes")
             y = _load_pt_labels(os.path.join(scape, "segs", "scape_seg.pt"))
-            for i in range(71):
-                v, f = read_ply(os.path.join(scape, "meshes", f"{i}.ply"))
-                keys.append(self._build(v, f, f"scape/{i}", y))
+            for fn in self._mesh_files(os.path.join(scape, "meshes"), ".ply"):
+                v, f = read_ply(os.path.join(scape, "meshes", fn))
+                keys.append(self._build(v, f, f"scape/{fn[:-4]}", y))
         else:
             # SHREC test set: 18 meshes with per-mesh labels (:196-214)
             shrec = os.path.join(root, "SHREC", "raw")
             self._extract(raw, os.path.join(shrec, "shrec.zip"), "meshes")
-            for i in range(18):
-                v, f = read_ply(os.path.join(shrec, "meshes", f"{i}.ply"))
-                y = _load_pt_labels(os.path.join(shrec, "segs", f"{i}.pt"))
-                keys.append(self._build(v, f, f"shrec/{i}", y))
+            for fn in self._mesh_files(os.path.join(shrec, "meshes"), ".ply"):
+                v, f = read_ply(os.path.join(shrec, "meshes", fn))
+                y = _load_pt_labels(
+                    os.path.join(shrec, "segs", fn[:-4] + ".pt"))
+                keys.append(self._build(v, f, f"shrec/{fn[:-4]}", y))
         return keys

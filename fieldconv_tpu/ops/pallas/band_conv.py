@@ -682,7 +682,7 @@ def _band_fused_mega_fwd_impl(g, wmat, sten_band, tb, nh, n_rings, k_width,
                           mxu_dtype=_mxu_dtype(precision)),
         in_specs=[
             pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -715,7 +715,7 @@ def _band_fused_mega_bwd_impl(dy, g, wmat, sten_band, tb, nh, n_rings,
         in_specs=[
             pl.BlockSpec((N, O2), lambda: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, M), lambda: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1542,14 +1542,14 @@ def _fwd_panel_kernel(meta_ref, g_ref, sten_ref, w_ref, out_ref, contrib,
                       mxu_dtype=jnp.float32):
     p = pl.program_id(0)
 
-    @pl.when(meta_ref[p, 2] == 1)
+    @pl.when(meta_ref[2, p] == 1)
     def _():
         contrib[:] = jnp.zeros_like(contrib)
 
     _panel_accum(g_ref, sten_ref, contrib, R=R, K=K, B=B, C=C, TB=TB,
                  compressed=compressed, mxu_dtype=mxu_dtype)
 
-    @pl.when(meta_ref[p, 3] == 1)
+    @pl.when(meta_ref[3, p] == 1)
     def _():
         _apply_w(contrib, w_ref, out_ref, R=R, TB=TB, O2=O2,
                  mxu_dtype=mxu_dtype)
@@ -1568,7 +1568,7 @@ def _bwd_panel_kernel(meta_s_ref, dy_ref, g_ref, sten_ref, w_ref,
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    @pl.when(meta_s_ref[p, 3] == 1)
+    @pl.when(meta_s_ref[3, p] == 1)
     def _():
         dg_acc[:] = jnp.zeros_like(dg_acc)
 
@@ -1604,14 +1604,14 @@ def _bwd_panel_kernel(meta_s_ref, dy_ref, g_ref, sten_ref, w_ref,
         dw_ref[r] += jax.lax.dot_general(
             cr, dy, contract_rows, preferred_element_type=jnp.float32)
 
-    @pl.when(meta_s_ref[p, 4] == 1)
+    @pl.when(meta_s_ref[4, p] == 1)
     def _():
         dg_ref[:] = dg_acc[:]
 
 
 def _panel_sten_spec(planes, TB):
     return pl.BlockSpec((1, planes, TB, TB),
-                        lambda p, m: (m[p, 0], 0, 0, 0),
+                        lambda p, m: (m[0, p], 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -1629,14 +1629,14 @@ def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
         num_scalar_prefetch=1,
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((TB, M), lambda p, m: (m[p, 1], 0),
+            pl.BlockSpec((TB, M), lambda p, m: (m[1, p], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, planes, TB, TB), lambda p, m: (p, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, O2), lambda p, m: (m[p, 0], 0),
+        out_specs=pl.BlockSpec((TB, O2), lambda p, m: (m[0, p], 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
     )
@@ -1664,16 +1664,16 @@ def _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, tb, n_rings, band_limit,
         num_scalar_prefetch=1,
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((TB, O2), lambda p, m: (m[p, 1], 0),
+            pl.BlockSpec((TB, O2), lambda p, m: (m[1, p], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, M), lambda p, m: (m[p, 2], 0),
+            pl.BlockSpec((TB, M), lambda p, m: (m[2, p], 0),
                          memory_space=pltpu.VMEM),
             _panel_sten_spec(planes, TB),
             pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, M), lambda p, m: (m[p, 2], 0),
+            pl.BlockSpec((TB, M), lambda p, m: (m[2, p], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1717,7 +1717,7 @@ def _band_panel_bwd(tb, n_rings, band_limit, compressed, precision, res, dy):
     g, wmat, sten, meta_s = res
     dg, dw = _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, tb, n_rings,
                                   band_limit, compressed, precision)
-    zero_meta = np.zeros(meta_s.shape[:1] + (4,), dtype=jax.dtypes.float0)
+    zero_meta = np.zeros((4, meta_s.shape[1]), dtype=jax.dtypes.float0)
     d_meta_s = np.zeros(meta_s.shape, dtype=jax.dtypes.float0)
     return dg, dw, jnp.zeros_like(sten), zero_meta, d_meta_s
 

@@ -272,11 +272,13 @@ def make_gp_train_step(net, config: ExperimentConfig, n_classes: int, opt,
     return train_step
 
 
-def make_gp_twin_train_step(net, config: ExperimentConfig, opt, mesh: Mesh,
-                            gpb_meta: GPBatch):
-    """Graph-parallel Siamese step (feature_matching.ipynb cell 13): both
-    forwards run graph-parallel; descriptors are all_gathered over the graph
-    axis (small: N × descriptor_dim) so the pair losses see global rows."""
+def make_gp_twin_value_and_grad(net, config: ExperimentConfig, mesh: Mesh,
+                                gpb_meta: GPBatch):
+    """(params, key, gpb_s, gpb_t, pos_pairs, null_pairs) -> (loss, grads)
+    for the graph-parallel Siamese loss: both forwards run graph-parallel;
+    descriptors are all_gathered over the graph axis (small: N × descriptor
+    dim) so the pair losses see global rows.  Shared by the twin train step
+    and the N-device == 1-device parity tests."""
     from ..nn import losses
 
     tb, nh = gpb_meta.tb, gpb_meta.nh
@@ -329,16 +331,29 @@ def make_gp_twin_train_step(net, config: ExperimentConfig, opt, mesh: Mesh,
         check_vma=False,
     )
 
-    @jax.jit
-    def train_step(state: TrainState, key, gpb_s: GPBatch, gpb_t: GPBatch,
-                   pos_pairs, null_pairs):
-        def wrapped(params):
-            return smapped(params, key,
+    def value_and_grad(params, key, gpb_s: GPBatch, gpb_t: GPBatch,
+                       pos_pairs, null_pairs):
+        def wrapped(p):
+            return smapped(p, key,
                            gpb_s.pos, gpb_s.vmask, gpb_s.bsten, gpb_s.csten,
                            gpb_t.pos, gpb_t.vmask, gpb_t.bsten, gpb_t.csten,
                            pos_pairs, null_pairs)
 
-        l, grads = jax.value_and_grad(wrapped)(state.params)
+        return jax.value_and_grad(wrapped)(params)
+
+    return value_and_grad
+
+
+def make_gp_twin_train_step(net, config: ExperimentConfig, opt, mesh: Mesh,
+                            gpb_meta: GPBatch):
+    """Graph-parallel Siamese train step (feature_matching.ipynb cell 13)."""
+    vag = make_gp_twin_value_and_grad(net, config, mesh, gpb_meta)
+
+    @jax.jit
+    def train_step(state: TrainState, key, gpb_s: GPBatch, gpb_t: GPBatch,
+                   pos_pairs, null_pairs):
+        l, grads = vag(state.params, key, gpb_s, gpb_t, pos_pairs,
+                       null_pairs)
         return _guarded_update(state, l, grads, opt), {"loss": l}
 
     return train_step

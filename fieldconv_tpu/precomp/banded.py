@@ -392,11 +392,15 @@ class PanelTable:
         (r, ph_re, ph_im, wxp_re, wxp_im) with R_SENTINEL at empty slots —
         the kernel rebuilds hats/phasors in VMEM; at 163k vertices the dense
         panels are ~10GB while compressed is ~3GB and fits HBM).
-      meta:   (P, 4) int32 = (tgt, src, first_t, last_t), panels sorted by
-        (tgt, src); drives the forward's scratch accumulation.
-      meta_s: (P, 5) int32 = (pid, tgt, src, first_s, last_s), the same
+      meta:   (4, P) int32 rows (tgt, src, first_t, last_t), panels sorted
+        by (tgt, src); drives the forward's scratch accumulation.
+      meta_s: (5, P) int32 rows (pid, tgt, src, first_s, last_s), the same
         panels sorted by (src, tgt); drives the by-source backward grid that
         writes dG blocks directly (no parts tensor, no scatter).
+      Field-major layout: Mosaic pads every SMEM scalar-prefetch ROW to
+        512 bytes, so a (P, n_fields) layout would cost P*512 bytes of SMEM
+        (8.6MB at 163k vertices vs the 1MB budget); (n_fields, P) costs
+        n_fields rows.
     Every block owns >= 1 panel as target AND >= 1 as source (missing blocks
     get a zero self-panel so their output/dG rows are written).
     """
@@ -412,7 +416,7 @@ class PanelTable:
 
     @property
     def n_panels(self) -> int:
-        return self.meta.shape[0]
+        return self.meta.shape[1]
 
     @property
     def k_width(self) -> int:
@@ -458,7 +462,7 @@ def build_panel_table(table: EdgeTable, tb: int = 128,
     first[1:] = (pan_tgt[1:] != pan_tgt[:-1]).astype(np.int32)
     last = np.ones(P, np.int32)
     last[:-1] = (pan_tgt[:-1] != pan_tgt[1:]).astype(np.int32)
-    meta = np.stack([pan_tgt, pan_src, first, last], axis=1)
+    meta = np.stack([pan_tgt, pan_src, first, last], axis=0)
 
     # src-sorted view for the backward
     order_s = np.lexsort((pan_tgt, pan_src)).astype(np.int32)
@@ -468,7 +472,7 @@ def build_panel_table(table: EdgeTable, tb: int = 128,
     last_s = np.ones(P, np.int32)
     last_s[:-1] = (s_src[:-1] != s_src[1:]).astype(np.int32)
     meta_s = np.stack(
-        [order_s, pan_tgt[order_s], s_src, first_s, last_s], axis=1)
+        [order_s, pan_tgt[order_s], s_src, first_s, last_s], axis=0)
 
     pid = np.searchsorted(ukeys, key)
     t_loc = tgt_idx % tb

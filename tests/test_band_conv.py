@@ -22,7 +22,7 @@ from fieldconv_tpu.ops.pallas.band_conv import (
 )
 
 
-def banded_graph(rng, n_vertices=64, tb=8, bw=14, B=2, R=6):
+def banded_graph(rng, n_vertices=32, tb=8, bw=7, B=2, R=6):
     """Random support graph whose edges satisfy |src-tgt| <= bw (pre-banded)."""
     edges = []
     for i in range(n_vertices):
@@ -217,6 +217,7 @@ def test_compressed_matches_fused(rng):
                                    atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_g_resident_matches_block_dma(rng):
     """VMEM-resident g (whole-array constant-index-map fetch + in-kernel
     dynamic slices) == the NJ-block-DMA path, values and all grads."""
@@ -347,12 +348,13 @@ def test_trans_field_banded_matches_xla(rng):
                                    atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mega_pipeline_matches_grid(rng):
     """The single-grid-step manual-DMA mega kernel == the grid pipeline:
     values and grads (x + all filter params), even/odd block counts."""
     from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
 
-    for nv in (96, 88):                       # even / odd nb at tb=8
+    for nv in (48, 40):                       # even / odd nb at tb=8
         g = banded_graph(rng, n_vertices=nv, tb=8, bw=10)
         table, banded = tables_for(g, tb=8)
         N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
@@ -425,14 +427,15 @@ def test_block_sparse_matches_gather(rng):
 
 
 @pytest.mark.parametrize("n_bins", [
-    2, pytest.param(3, marks=pytest.mark.slow)])
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow)])
 def test_echo_pallas_matches_xla(rng, n_bins):
     """Pallas in-VMEM ECHO == XLA echo (values + grads), interpret mode."""
     from fieldconv_tpu.precomp.banded import build_compressed_banded
     from fieldconv_tpu.ops.echo import echo
     from fieldconv_tpu.ops.pallas.echo_band import echo_banded_pallas
 
-    g = banded_graph(rng, n_vertices=32, tb=8, bw=7)
+    g = banded_graph(rng, n_vertices=16, tb=8, bw=7)
     table, _ = tables_for(g, tb=8)
     comp = build_compressed_banded(table, tb=8)
     N, C = table.n_pad, 5          # odd C exercises the channel-chunk tail
@@ -477,10 +480,9 @@ def test_panel_matches_gather(rng, compressed):
     nb = table.n_pad // 8
     # panel bookkeeping invariants: sorted by tgt, every block covered both
     # as target and as source
-    meta = np.asarray(panel.meta)
-    assert (np.diff(meta[:, 0]) >= 0).all()
-    assert set(meta[:, 0]) == set(range(nb)) and set(meta[:, 1]) == set(
-        range(nb))
+    meta = np.asarray(panel.meta)           # (4, P) field-major rows
+    assert (np.diff(meta[0]) >= 0).all()
+    assert set(meta[0]) == set(range(nb)) and set(meta[1]) == set(range(nb))
 
     N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
     x = jnp.asarray(np.stack([rng.normal(size=(N, C)),

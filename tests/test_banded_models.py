@@ -1,6 +1,7 @@
 """Banded Pallas path through the full models: parity with the XLA path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,8 +10,9 @@ from fieldconv_tpu.models import ClassificationNet
 from fieldconv_tpu.train.trainer import stack_batch, batched_apply, MeshBatch
 
 
+@pytest.mark.slow
 def test_model_banded_matches_xla(rng):
-    g = banded_graph(rng, n_vertices=64, tb=8, bw=14)
+    g = banded_graph(rng, n_vertices=64, tb=8, bw=7)
     table, banded = tables_for(g, tb=8)
     pos = np.zeros((table.n_pad, 3), np.float32)
     pos[: table.n_valid] = rng.normal(size=(table.n_valid, 3))
@@ -26,7 +28,7 @@ def test_model_banded_matches_xla(rng):
 
 
 def test_stack_batch_banded_and_vmap(rng):
-    g = banded_graph(rng, n_vertices=64, tb=8, bw=14)
+    g = banded_graph(rng, n_vertices=64, tb=8, bw=7)
     table, _ = tables_for(g, tb=8)
     pos = np.zeros((table.n_pad, 3), np.float32)
     pos[: table.n_valid] = rng.normal(size=(table.n_valid, 3))
@@ -49,6 +51,7 @@ def test_stack_batch_banded_and_vmap(rng):
     )
 
 
+@pytest.mark.slow
 def test_segmentation_comp_echo_matches(rng):
     """SegmentationNet with the banded gather-free ECHO == XLA ECHO."""
     import jax
@@ -70,6 +73,7 @@ def test_segmentation_comp_echo_matches(rng):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_mixed_nh_batch_comp_parity(rng):
     """Two meshes with different bandwidths stacked into one batch: the
     widened compressed tables (_pad_comp's R_SENTINEL/zero slots) must give

@@ -157,6 +157,7 @@ def test_null_pairs():
         assert (t, s) not in {(0, 1), (2, 3)}
 
 
+@pytest.mark.slow
 def test_fit_matching_synthetic():
     """Siamese matching loop runs end-to-end on synthetic sphere pairs."""
     import dataclasses
@@ -191,3 +192,196 @@ def test_fit_matching_synthetic():
     leaves = [np.asarray(l) for l in
               __import__("jax").tree_util.tree_leaves(state.params)]
     assert all(np.all(np.isfinite(l)) for l in leaves)
+
+
+def _ply_bytes(v, f):
+    lines = ["ply", "format ascii 1.0", f"element vertex {len(v)}",
+             "property float x", "property float y", "property float z",
+             f"element face {len(f)}",
+             "property list uchar int vertex_indices", "end_header"]
+    lines += [f"{p[0]} {p[1]} {p[2]}" for p in v]
+    lines += [f"3 {t[0]} {t[1]} {t[2]}" for t in f]
+    return "\n".join(lines).encode()
+
+
+def _obj_bytes(v, f):
+    lines = [f"v {p[0]} {p[1]} {p[2]}" for p in v]
+    lines += [f"f {t[0]+1} {t[1]+1} {t[2]+1}" for t in f]
+    return "\n".join(lines).encode()
+
+
+def _off_bytes(v, f):
+    lines = ["OFF", f"{len(v)} {len(f)} 0"]
+    lines += [f"{p[0]} {p[1]} {p[2]}" for p in v]
+    lines += [f"3 {t[0]} {t[1]} {t[2]}" for t in f]
+    return "\n".join(lines).encode()
+
+
+def _pt_bytes(arr):
+    import io
+
+    import torch
+
+    buf = io.BytesIO()
+    torch.save(torch.as_tensor(arr), buf)
+    return buf.getvalue()
+
+
+def _inner_zip_bytes(entries):
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in entries.items():
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def _fake_shapeseg_zip(root):
+    """SHAPESEG.zip in the genuine nested layout (SHAPESEG.py:106-214):
+    per-corpus raw/<corpus>.zip holding meshes/, with segs/ beside it."""
+    rawdir = os.path.join(root, "raw")
+    os.makedirs(rawdir, exist_ok=True)
+    rng = np.random.default_rng(3)
+    v0, f0 = icosphere(subdiv=1)
+    nv = len(v0)
+
+    def mesh(i):
+        return v0 * (1 + 0.1 * i) + rng.normal(scale=0.01, size=v0.shape), f0
+
+    with zipfile.ZipFile(os.path.join(rawdir, "SHAPESEG.zip"), "w") as z:
+        # Adobe: per-mesh .pt labels
+        v1, _ = mesh(0)
+        v2, _ = mesh(1)
+        z.writestr("SHAPESEG/Adobe/raw/adobe.zip", _inner_zip_bytes({
+            "meshes/0.ply": _ply_bytes(v1, f0),
+            "meshes/1.ply": _ply_bytes(v2, f0)}))
+        for i in range(2):
+            z.writestr(f"SHAPESEG/Adobe/raw/segs/{i}.pt",
+                       _pt_bytes(rng.integers(0, 8, nv)))
+        # FAUST: shared label file
+        v3, _ = mesh(2)
+        z.writestr("SHAPESEG/FAUST/raw/faust.zip", _inner_zip_bytes({
+            "meshes/tr_reg_000.ply": _ply_bytes(v3, f0)}))
+        z.writestr("SHAPESEG/FAUST/raw/segs/faust_seg.pt",
+                   _pt_bytes(rng.integers(0, 8, nv)))
+        # MIT: .obj meshes + .eseg edge labels
+        v4, _ = mesh(3)
+        n_edges = len({(min(a, b), max(a, b)) for t in f0
+                       for a, b in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2]))})
+        z.writestr("SHAPESEG/MIT/raw/mit.zip", _inner_zip_bytes({
+            "meshes/crane.obj": _obj_bytes(v4, f0)}))
+        z.writestr("SHAPESEG/MIT/raw/segs/crane.eseg", "\n".join(
+            str(x) for x in rng.integers(1, 9, n_edges)))
+        # SCAPE: shared label file
+        v5, _ = mesh(4)
+        z.writestr("SHAPESEG/SCAPE/raw/scape.zip", _inner_zip_bytes({
+            "meshes/0.ply": _ply_bytes(v5, f0)}))
+        z.writestr("SHAPESEG/SCAPE/raw/segs/scape_seg.pt",
+                   _pt_bytes(rng.integers(0, 8, nv)))
+        # SHREC test: per-mesh labels
+        v6, _ = mesh(5)
+        z.writestr("SHAPESEG/SHREC/raw/shrec.zip", _inner_zip_bytes({
+            "meshes/0.ply": _ply_bytes(v6, f0)}))
+        z.writestr("SHAPESEG/SHREC/raw/segs/0.pt",
+                   _pt_bytes(rng.integers(0, 8, nv)))
+
+
+def test_shapeseg_process_real_layout(tmp_path):
+    """SHAPESEG._process end-to-end on a fixture archive in the genuine
+    nested-zip layout — all four train corpora + the SHREC test set."""
+    from fieldconv_tpu.data import SHAPESEG
+
+    root = str(tmp_path / "shapeseg")
+    os.makedirs(root)
+    _fake_shapeseg_zip(root)
+
+    train = SHAPESEG(root, train=True, epsilon=0.45, sample_n=24)
+    test = SHAPESEG(root, train=False, epsilon=0.45, sample_n=24)
+    assert len(train) == 5 and len(test) == 1   # 2 adobe + 1 each f/m/s
+    for r in train.records() + test.records():
+        assert r.labels.shape == (24,)          # subsampled by sample_idx
+        assert r.labels.min() >= 0 and r.labels.max() <= 7
+    # cache hit
+    train2 = SHAPESEG(root, train=True, epsilon=0.45, sample_n=24)
+    assert train2.keys == train.keys
+
+
+def _fake_faustrm_zip(root, n=5):
+    rawdir = os.path.join(root, "raw")
+    os.makedirs(rawdir, exist_ok=True)
+    rng = np.random.default_rng(4)
+    v0, f0 = icosphere(subdiv=1)
+    nv = len(v0)
+    with zipfile.ZipFile(os.path.join(rawdir, "FAUSTRM.zip"), "w") as z:
+        for i in range(n):
+            v = v0 * (1 + 0.05 * i) + rng.normal(scale=0.005, size=v0.shape)
+            z.writestr(f"shapes/tr_reg_{i:03d}.off", _off_bytes(v, f0))
+            # .vts: 1-indexed template->scan vertex map (FAUSTRM.py:74-92)
+            z.writestr(f"labels/tr_reg_{i:03d}.vts", "\n".join(
+                str(x) for x in rng.permutation(nv) + 1))
+
+
+def test_faustrm_process_real_layout(tmp_path):
+    """FAUSTRM._process end-to-end: .off + 1-indexed .vts composeMap path,
+    80/20 index split, area normalisation without centering."""
+    from fieldconv_tpu.data import FAUSTRM
+
+    root = str(tmp_path / "faustrm")
+    os.makedirs(root)
+    _fake_faustrm_zip(root, n=5)
+
+    train = FAUSTRM(root, train=True, epsilon=0.45)
+    test = FAUSTRM(root, train=False, epsilon=0.45)
+    assert len(train) == 4 and len(test) == 1
+    for r in train.records() + test.records():
+        # labels are template-relative 0-based vertex ids
+        assert r.labels.min() >= 0 and r.labels.max() < 42
+    train2 = FAUSTRM(root, train=True, epsilon=0.45)
+    assert train2.keys == train.keys
+
+
+def _fake_shrec19_zip(root):
+    rawdir = os.path.join(root, "raw")
+    os.makedirs(rawdir, exist_ok=True)
+    rng = np.random.default_rng(5)
+    v0, f0 = icosphere(subdiv=1)
+    nv = len(v0)
+    with zipfile.ZipFile(os.path.join(rawdir, "SHREC19.zip"), "w") as z:
+        for sid in (1, 2, 3):
+            v = v0 * (1 + 0.05 * sid) + rng.normal(scale=0.005, size=v0.shape)
+            z.writestr(f"models/scan_{sid:03d}.obj", _obj_bytes(v, f0))
+        # category pair files (main.cpp:347-433 format: "001,002")
+        z.writestr("pairs/figure_pairs.txt", "001,002\n002,003\n")
+        z.writestr("pairs/glove_pairs.txt", "")
+        z.writestr("pairs/hand_pairs.txt", "")
+        for s, t in ((1, 2), (2, 3)):
+            gt = rng.integers(0, nv, nv)     # per-target-vertex source id
+            z.writestr(f"gt/scan_{s:03d}.scan_{t:03d}.gt.txt",
+                       "\n".join(str(x) for x in gt))
+
+
+def test_shrec19_process_real_layout(tmp_path):
+    """SHREC19._process end-to-end on the genuine layout: models/ + pairs/
+    category files + gt/ maps; split generation, FPS sampling,
+    samplesToNearest matching, all four which-splits, pos_pairs storage."""
+    from fieldconv_tpu.data import SHREC19
+
+    root = str(tmp_path / "shrec19")
+    os.makedirs(root)
+    _fake_shrec19_zip(root)
+
+    nS = 16
+    ds = {w: SHREC19(root, which=w, n_samples=nS, epsilon=0.45, seed=0)
+          for w in range(4)}
+    # 2 figure pairs -> ceil(0.2*2)=1 test + 1 train
+    assert len(ds[0]) == 1 and len(ds[1]) == 1
+    assert len(ds[2]) == 1 and len(ds[3]) == 1
+    for w in range(4):
+        r = ds[w].record(0)
+        assert r.pos.shape[0] == nS
+    pp = ds[0].pos_pairs(0)
+    assert pp.shape == (nS, 2)
+    assert pp.min() >= 0 and pp.max() < nS
+    # source/target of one pair share the pair tag
+    assert ds[0].keys[0][1] == ds[1].keys[0][1]

@@ -26,7 +26,7 @@ from fieldconv_tpu.train.trainer import (
 
 def _setup(rng, task, bw=7, n_classes=5, **cfg_kw):
     """Two meshes on a 128-vertex banded graph; batch with banded+comp."""
-    g = banded_graph(rng, n_vertices=128, tb=8, bw=bw)
+    g = banded_graph(rng, n_vertices=96, tb=8, bw=bw)
     table, banded = tables_for(g, tb=8)
     N = table.n_pad
     # augmentation disabled -> both paths see identical positions
@@ -49,10 +49,11 @@ def _setup(rng, task, bw=7, n_classes=5, **cfg_kw):
 
 
 @pytest.mark.parametrize("task,bw", [
-    ("classification", 7),    # nh=1: nb_local=4 > 2nh -> overlap halo path
+    pytest.param("classification", 7, marks=pytest.mark.slow),
+    # ^ nh=1: nb_local=4 > 2nh -> overlap halo path
     pytest.param("classification", 14, marks=pytest.mark.slow),
     # ^ nh=2: nb_local=4 = 2nh -> serial halo path
-    ("segmentation", 7),
+    pytest.param("segmentation", 7, marks=pytest.mark.slow),
     pytest.param("correspondence", 7, marks=pytest.mark.slow),
 ])
 def test_gp_matches_single_device(rng, task, bw):
@@ -114,3 +115,56 @@ def test_gp_train_step_runs_and_updates(rng):
     moved = jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), params, state.params)
     assert max(jax.tree.leaves(moved)) > 0.0
+
+
+@pytest.mark.slow
+def test_gp_twin_matches_single_graph_shard(rng):
+    """Siamese graph-parallel step (all_gather of descriptors + mask-to-
+    shard0 replicated-loss plumbing): loss + grads on a (1 data x 4 graph)
+    mesh == the (1 x 1) single-shard run with identical keys.  Reference
+    semantics: feature_matching.ipynb cell 13 / nn/twin_loss.py:16-37."""
+    from fieldconv_tpu.parallel.gp import make_gp_twin_value_and_grad
+
+    config, batch_s, table, _ = _setup(rng, "matching")
+    _, batch_t, _, _ = _setup(rng, "matching")
+    N = table.n_valid
+    n_pairs = 16
+    pos_pairs = jnp.asarray(
+        rng.integers(0, N, size=(1, n_pairs, 2)), jnp.int32)
+    null_pairs = jnp.asarray(
+        rng.integers(0, N, size=(1, n_pairs, 2)), jnp.int32)
+    # matching batches are single-mesh per step (feature_matching cell 13)
+    take1 = lambda b: jax.tree.map(lambda x: x[:1], b)
+    batch_s, batch_t = take1(batch_s), take1(batch_t)
+
+    netg = build_model(config, n_classes=0, axis_name="graph")
+    params = jax.jit(build_model(config, n_classes=0).init)(
+        jax.random.key(0), batch_s.pos[0],
+        jax.tree.map(lambda x: x[0], batch_s.table))
+    key = jax.random.key(7)
+
+    results = []
+    for n_graph in (1, 4):
+        mesh = make_device_mesh(1, n_graph, jax.devices()[:n_graph])
+        gpb_s = place_gp_batch(gp_batch(batch_s), mesh)
+        gpb_t = place_gp_batch(gp_batch(batch_t), mesh)
+        vag = make_gp_twin_value_and_grad(netg, config, mesh, gpb_s)
+        with mesh:
+            l, g = jax.jit(vag)(replicate(params, mesh), key, gpb_s, gpb_t,
+                                pos_pairs, null_pairs)
+        results.append((float(l), g))
+
+    (l1, g1), (l4, g4) = results
+    assert np.isfinite(l1)
+    np.testing.assert_allclose(l4, l1, rtol=1e-5, atol=1e-7)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat4 = dict(jax.tree_util.tree_leaves_with_path(g4))
+    assert len(flat1) == len(flat4)
+    nonzero = 0.0
+    for path, leaf in flat1:
+        nonzero = max(nonzero, float(jnp.max(jnp.abs(leaf))))
+        np.testing.assert_allclose(
+            np.asarray(flat4[path]), np.asarray(leaf),
+            rtol=1e-4, atol=2e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+    assert nonzero > 0.0

@@ -3,6 +3,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -106,7 +107,7 @@ def test_halo_overlap_matches_serial(rng):
     """Overlapped (interior/boundary split) halo conv == serial halo conv,
     values and grads, over 4 devices."""
     n_dev = 4
-    g = banded_graph(rng, n_vertices=128, tb=8, bw=7)
+    g = banded_graph(rng, n_vertices=96, tb=8, bw=7)
     table, banded = tables_for(g, tb=8)
     N, C, O, B, R = table.n_pad, 3, 5, g["B"], g["R"]
     x = jnp.asarray(rng.normal(size=(N, C, 2)), jnp.float32)
@@ -154,6 +155,7 @@ def test_halo_overlap_matches_serial(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_halo_fused_conv_matches_single_device(rng):
     """Fused sharded full conv (values + grads wrt x and all filter params)
     == single-device fused path."""

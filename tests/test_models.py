@@ -69,6 +69,7 @@ def test_segmentation_net(rng):
     assert np.isfinite(float(l))
 
 
+@pytest.mark.slow
 def test_correspondence_net(rng):
     g = random_graph(rng, n_vertices=22, avg_deg=5, B=1, R=3)
     table = make_table(g)

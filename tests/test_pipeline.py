@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 import optax
 
@@ -43,6 +44,7 @@ def test_precompute_properties():
     assert key != mesh_cache_key(v, f, 0.36, None, 2, 4)
 
 
+@pytest.mark.slow
 def test_end_to_end_classification_training():
     """Two synthetic shape classes; the net must overfit to 100% train acc."""
     B, R, eps = 2, 4, 0.35
