@@ -31,6 +31,10 @@ def main():
     mode = os.environ.get("ECHO_MODE", "fwdbwd")      # fwd | fwdbwd
     cc = int(os.environ.get("ECHO_CC", "16"))
     INNER = int(os.environ.get("ECHO_INNER", "10"))
+    # loop=host: single-step jit (small program — the scan-of-grad programs
+    # have been observed to wedge the remote-compile helper), median of
+    # chained host dispatches; loop=device: lax.scan protocol
+    loop = os.environ.get("ECHO_LOOP", "device")
 
     for spec in shapes:
         name, N, C, nb = spec.split(":")
@@ -50,23 +54,29 @@ def main():
             fn = fns[vname]
 
             if mode == "fwd":
-                @jax.jit
-                def steps(x):
-                    def body(x, _):
-                        y = fn(x * 1.000001)
-                        return x + 1e-6 * jnp.mean(y), ()
-                    xf, _ = jax.lax.scan(body, x, None, length=INNER)
-                    return xf, jnp.sum(xf)
+                def one(x):
+                    y = fn(x * 1.000001)
+                    return x + 1e-6 * jnp.mean(y)
             else:
                 def loss(x):
                     return jnp.sum(jnp.sin(fn(x)))
 
+                def one(x):
+                    dx = jax.grad(loss)(x)
+                    return dx * jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-8) * 0.5
+
+            if loop == "host":
+                step = jax.jit(one)
+
+                def steps(x):
+                    for _ in range(INNER):
+                        x = step(x)
+                    return x, jnp.sum(x)
+            else:
                 @jax.jit
                 def steps(x):
                     def body(x, _):
-                        dx = jax.grad(loss)(x)
-                        return dx * jax.lax.rsqrt(
-                            jnp.mean(dx * dx) + 1e-8) * 0.5, ()
+                        return one(x), ()
                     xf, _ = jax.lax.scan(body, x, None, length=INNER)
                     return xf, jnp.sum(xf)
 
@@ -84,7 +94,7 @@ def main():
                 dt = sorted(ts)[1]
                 print(json.dumps({
                     "shape": name, "variant": vname, "mode": mode,
-                    "ms": round(dt * 1e3, 2),
+                    "loop": loop, "ms": round(dt * 1e3, 2),
                     "compile_s": round(compile_s, 1)}), flush=True)
             except Exception as e:  # noqa: BLE001 — report and keep probing
                 print(json.dumps({

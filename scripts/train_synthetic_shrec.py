@@ -87,11 +87,13 @@ def main():
     config = ExperimentConfig(
         task="classification", band_limit=2, n_rings=6, nf=32, epsilon=0.2,
         epochs=epochs, lr=0.01, checkpoint_dir=ckpt_dir, checkpoint_every=5,
+        d_chunk=64,   # neighbor bucket here is 192 slots (eps 0.2 spheres)
     )
     t0 = time.time()
+    eval_every = int(os.environ.get("SYNTH_EVAL_EVERY", "0")) or None
     net, state, metric = fit(config, train, test, n_classes=10,
                              banded_tb=tb, log_path=log_path,
-                             eval_every=5, seed=0)
+                             eval_every=eval_every, seed=0)
     wall = time.time() - t0
     print(json.dumps({
         "task": "synthetic_shrec11_standin", "n_classes": 10,

@@ -28,7 +28,7 @@ def test_model_banded_matches_xla(rng):
 
 
 def test_stack_batch_banded_and_vmap(rng):
-    g = banded_graph(rng, n_vertices=64, tb=8, bw=7)
+    g = banded_graph(rng, n_vertices=32, tb=8, bw=7)
     table, _ = tables_for(g, tb=8)
     pos = np.zeros((table.n_pad, 3), np.float32)
     pos[: table.n_valid] = rng.normal(size=(table.n_valid, 3))

@@ -24,9 +24,9 @@ from fieldconv_tpu.train.trainer import (
 )
 
 
-def _setup(rng, task, bw=7, n_classes=5, **cfg_kw):
-    """Two meshes on a 128-vertex banded graph; batch with banded+comp."""
-    g = banded_graph(rng, n_vertices=96, tb=8, bw=bw)
+def _setup(rng, task, bw=7, n_classes=5, n_vertices=96, **cfg_kw):
+    """Two meshes on a small banded graph; batch with banded+comp."""
+    g = banded_graph(rng, n_vertices=n_vertices, tb=8, bw=bw)
     table, banded = tables_for(g, tb=8)
     N = table.n_pad
     # augmentation disabled -> both paths see identical positions
@@ -96,7 +96,8 @@ def test_gp_matches_single_device(rng, task, bw):
 def test_gp_train_step_runs_and_updates(rng):
     """One optimizer step through the gp path: finite loss, params move and
     stay in sync with the single-device step."""
-    config, batch, table, n_classes = _setup(rng, "classification")
+    config, batch, table, n_classes = _setup(rng, "classification",
+                                             n_vertices=64)
     mesh = make_device_mesh(2, 4, jax.devices()[:8])
     netg = build_model(config, n_classes, axis_name="graph")
     # init with the single-device twin: identical param tree, no collectives
