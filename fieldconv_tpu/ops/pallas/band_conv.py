@@ -1492,6 +1492,210 @@ def _band_cfused_bwd(tb, nh, n_rings, band_limit, precision, res, dy):
 _band_cfused.defvjp(_band_cfused_fwd, _band_cfused_bwd)
 
 
+# --- wide mega kernel: window-contiguous g, one matmul per (block, k) ------
+#
+# The classic kernels issue K x NJ x 2 small (R·TB, TB) x (TB, 2C) matmuls
+# per block — 30 dispatches of MXU-underutilising shapes at bench config
+# (C2=64 output columns = half the lanes).  Here g is PADDED with nh zero
+# blocks on each side (XLA pad outside the kernel; its transpose is a
+# slice), so block b's NJ source blocks are ONE contiguous row window
+# g_pad[b·TB : b·TB + NJ·TB] and the whole-slot contraction becomes a
+# single (2·R·TB, NJ·TB) x (NJ·TB, 2C) matmul per k — the s_re/s_im row
+# stack shares the window fetch, and the full-width (R, TB, W') elementwise
+# stencil products replace NJ per-panel ones.  Backward: the transposed
+# matmul emits the window's dG rows contiguously; serial read-modify-write
+# into the padded dG buffer (overlapping windows), pads sliced off outside.
+
+
+def _mega_contrib_wide(g_ref, b, sref, contrib, *, R, K, C, TB, NJ,
+                       mxu_dtype):
+    C2 = 2 * C
+    Wp = NJ * TB
+    rs_full = sref[:R]                            # (R, TB, W')
+    gw_all = g_ref[pl.ds(b * TB, Wp), :]          # (W', K·C2) window (padded)
+    for k in range(K):
+        fre = sref[R + 2 * k]                     # (TB, W')
+        fim = sref[R + 2 * k + 1]
+        s_re = (rs_full * fre[None]).reshape(R * TB, Wp)
+        s_im = (rs_full * fim[None]).reshape(R * TB, Wp)
+        s_both = jnp.concatenate([s_re, s_im], 0).astype(mxu_dtype)
+        gw = gw_all[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        acc = jnp.dot(s_both, gw, preferred_element_type=jnp.float32)
+        acc_a, acc_b = acc[:R * TB], acc[R * TB:]
+        contrib[:, (2 * k) * C:(2 * k + 1) * C] = acc_a[:, :C] - acc_b[:, C:]
+        contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] = \
+            acc_a[:, C:] + acc_b[:, :C]
+
+
+def _fwd_megaw_kernel(g_ref, sten_hbm, w_ref, out_ref, slots, sems, contrib,
+                      *, R, K, C, TB, NJ, O2, nb, n_slots=2,
+                      mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+        _mega_contrib_wide(g_ref, b, sref, contrib,
+                           R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        y = jnp.zeros((TB, O2), jnp.float32)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            y += jnp.dot(cr, w_ref[r].astype(mxu_dtype),
+                         preferred_element_type=jnp.float32)
+        out_ref[pl.ds(b * TB, TB), :] = y
+
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
+
+
+def _bwd_megaw_kernel(dy_ref, g_ref, sten_hbm, w_ref, dg_ref, dw_ref,
+                      slots, sems, contrib, dcontrib,
+                      *, R, K, C, TB, NJ, O2, nb, n_slots=2,
+                      mxu_dtype=jnp.float32):
+    start, wait = _mega_sten_io(sten_hbm, slots, sems)
+    C2 = 2 * C
+    Wp = NJ * TB
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+
+    dg_ref[:] = jnp.zeros_like(dg_ref)
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    def compute(sl, b):
+        sref = slots.at[sl]
+        _mega_contrib_wide(g_ref, b, sref, contrib,
+                           R=R, K=K, C=C, TB=TB, NJ=NJ, mxu_dtype=mxu_dtype)
+        dy = dy_ref[pl.ds(b * TB, TB), :].astype(mxu_dtype)
+        for r in range(R):
+            cr = contrib[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            dw_ref[r] += jax.lax.dot_general(
+                cr, dy, contract_rows, preferred_element_type=jnp.float32)
+            dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+                dy, w_ref[r].astype(mxu_dtype), contract_cols,
+                preferred_element_type=jnp.float32)
+        rs_full = sref[:R]
+        for k in range(K):
+            fre = sref[R + 2 * k]
+            fim = sref[R + 2 * k + 1]
+            s_re = (rs_full * fre[None]).reshape(R * TB, Wp)
+            s_im = (rs_full * fim[None]).reshape(R * TB, Wp)
+            s_both = jnp.concatenate([s_re, s_im], 0).astype(mxu_dtype)
+            d_re = dcontrib[:, (2 * k) * C:(2 * k + 1) * C]
+            d_im = dcontrib[:, (2 * k + 1) * C:(2 * k + 2) * C]
+            # dg_win = s_reᵀ[d_re|d_im] + s_imᵀ[d_im|−d_re]
+            d_cat = jnp.concatenate([
+                jnp.concatenate([d_re, d_im], 1),
+                jnp.concatenate([d_im, -d_re], 1)], 0).astype(mxu_dtype)
+            dg_win = jax.lax.dot_general(
+                s_both, d_cat, contract_rows,
+                preferred_element_type=jnp.float32)          # (W', C2·... )
+            dg_ref[pl.ds(b * TB, Wp), k * C2:(k + 1) * C2] += dg_win
+
+    _mega_loop(nb, start, wait, compute, n_slots=n_slots)
+
+
+def _band_megaw_fwd_impl(gp, wmat, sten_band, tb, nh, n_rings, k_width,
+                         precision):
+    Np, M = gp.shape                 # padded rows: N + 2·nh·TB
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    N = Np - 2 * nh * TB
+    nb = N // TB
+
+    return pl.pallas_call(
+        functools.partial(_fwd_megaw_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, nb=nb, n_slots=_MEGA_SLOTS,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((Np, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, O2), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_MEGA_SLOTS, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(gp, sten_band, wmat)
+
+
+def _band_megaw_bwd_impl(dy, gp, wmat, sten_band, tb, nh, n_rings, k_width,
+                         precision):
+    Np, M = gp.shape
+    R, K, TB = n_rings, k_width, tb
+    NJ = 2 * nh + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    N = Np - 2 * nh * TB
+    nb = N // TB
+
+    dgp, dw = pl.pallas_call(
+        functools.partial(_bwd_megaw_kernel, R=R, K=K, C=C, TB=TB, NJ=NJ,
+                          O2=O2, nb=nb, n_slots=_MEGA_SLOTS,
+                          mxu_dtype=_mxu_dtype(precision)),
+        in_specs=[
+            pl.BlockSpec((N, O2), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Np, M), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_MEGA_SLOTS, R + 2 * K, TB, NJ * TB), jnp.float32),
+            pltpu.SemaphoreType.DMA((_MEGA_SLOTS,)),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+            pltpu.VMEM((R * TB, M), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(dy, gp, sten_band, wmat)
+    return dgp, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _band_fused_megaw(g, wmat, sten_band, tb, nh, n_rings, k_width,
+                      precision):
+    y, _ = _band_fused_megaw_fwd(g, wmat, sten_band, tb, nh, n_rings,
+                                 k_width, precision)
+    return y
+
+
+def _band_fused_megaw_fwd(g, wmat, sten_band, tb, nh, n_rings, k_width,
+                          precision):
+    pad = nh * tb
+    gp = jnp.pad(g, ((pad, pad), (0, 0)))
+    y = _band_megaw_fwd_impl(gp, wmat, sten_band, tb, nh, n_rings, k_width,
+                             precision)
+    return y, (gp, wmat, sten_band)
+
+
+def _band_fused_megaw_bwd(tb, nh, n_rings, k_width, precision, res, dy):
+    gp, wmat, sten_band = res
+    dgp, dw = _band_megaw_bwd_impl(dy, gp, wmat, sten_band, tb, nh, n_rings,
+                                   k_width, precision)
+    pad = nh * tb
+    dg = dgp[pad:dgp.shape[0] - pad]
+    return dg, dw, jnp.zeros_like(sten_band)
+
+
+_band_fused_megaw.defvjp(_band_fused_megaw_fwd, _band_fused_megaw_bwd)
+
+
 # --- panel-CSR kernels ------------------------------------------------------
 #
 # The scalable layout for 100k+-vertex meshes (precomp.banded.PanelTable):
@@ -1828,10 +2032,16 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
         N, M = g.shape
         R, K, TB = banded.n_rings, banded.k_width, banded.tb
         NJ = 2 * banded.nh + 1
-        use_mega = pipeline == "mega" or (
-            pipeline == "auto"
-            and _mega_fits(N, M, wmat.shape[-1], R, K, TB, NJ))
-        if use_mega:
+        fits = _mega_fits(N, M, wmat.shape[-1], R, K, TB, NJ)
+        if pipeline == "megaw" or (pipeline == "auto" and fits):
+            # wide window-contiguous variant: one (2RTB, W')x(W', 2C)
+            # matmul per (block, k) instead of K·NJ·2 small ones (measured
+            # faster than the classic mega — docs/KERNEL_NOTES.md r3)
+            y2 = _band_fused_megaw(
+                g, wmat, banded.sten_band,
+                banded.tb, banded.nh, banded.n_rings, banded.k_width,
+                precision)
+        elif pipeline == "mega" or (pipeline == "auto" and fits):
             y2 = _band_fused_mega(
                 g, wmat, banded.sten_band,
                 banded.tb, banded.nh, banded.n_rings, banded.k_width,

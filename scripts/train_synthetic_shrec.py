@@ -27,7 +27,7 @@ import numpy as np
 
 
 def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
-                 cache="/tmp/synth_shrec_records"):
+                 cache="/tmp/synth_shrec_records_v2"):
     from fieldconv_tpu.data.base import process_mesh
     from fieldconv_tpu.data.synthetic import icosphere
 
@@ -45,8 +45,12 @@ def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
     train, test = [], []
     t0 = time.time()
     for c in range(n_classes):
+        # classes are structurally distinct (like SHREC11's 30 shape
+        # categories): monotone amplitude ladder + frequency as a second cue
+        # (a pure 5-freq x 2-amp grid measured unlearnable at this scale —
+        # batch-1 CE never left chance in 55 epochs)
         freq = 2 + (c % 5)              # angular frequency of the bumps
-        amp = 0.12 if c < 5 else 0.28   # amplitude tier
+        amp = 0.10 + 0.03 * c           # amplitude ladder
         for k in range(n_train + n_test):
             # class-specific radial field around a random axis
             axis = rng.normal(size=3)
