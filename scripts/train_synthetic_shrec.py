@@ -27,7 +27,7 @@ import numpy as np
 
 
 def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
-                 cache="/tmp/synth_shrec_records_v2"):
+                 cache="/tmp/synth_shrec_records_v3"):
     from fieldconv_tpu.data.base import process_mesh
     from fieldconv_tpu.data.synthetic import icosphere
 
@@ -50,7 +50,8 @@ def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
         # (a pure 5-freq x 2-amp grid measured unlearnable at this scale —
         # batch-1 CE never left chance in 55 epochs)
         freq = 2 + (c % 5)              # angular frequency of the bumps
-        amp = 0.10 + 0.03 * c           # amplitude ladder
+        amp = 0.06 + 0.06 * c           # steep ladder: classes as distinct
+                                        # as SHREC11's shape categories
         for k in range(n_train + n_test):
             # class-specific radial field around a random axis
             axis = rng.normal(size=3)
@@ -60,7 +61,7 @@ def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
             r = 1.0 + amp * np.cos(freq * np.arccos(np.clip(ca, -1, 1))) \
                 * np.cos(freq * az)
             v = v0 * r[:, None]
-            v = v + rng.normal(scale=0.005, size=v.shape)
+            v = v + rng.normal(scale=0.002, size=v.shape)
             rec = process_mesh(v, f0, epsilon=0.2, sample_n=None,
                                name=f"c{c}_{k}", labels=np.int64(c))
             (train if k < n_train else test).append(rec)
@@ -90,7 +91,8 @@ def main():
     # SHREC11 recipe (classification.ipynb cells 3,10,15; config presets 6b)
     config = ExperimentConfig(
         task="classification", band_limit=2, n_rings=6, nf=32, epsilon=0.2,
-        epochs=epochs, lr=0.01, checkpoint_dir=ckpt_dir, checkpoint_every=5,
+        epochs=epochs, lr=0.01, lr_decay_epoch=60, lr_decayed=0.001,
+        checkpoint_dir=ckpt_dir, checkpoint_every=10,
         d_chunk=64,   # neighbor bucket here is 192 slots (eps 0.2 spheres)
     )
     t0 = time.time()
