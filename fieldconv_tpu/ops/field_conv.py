@@ -102,7 +102,11 @@ def field_conv_contrib(x, table: EdgeTable, d_chunk: int = 128):
         return chunk_contrib(table.src, table.fwxp, table.rsten)
 
     if D % d_chunk:
-        raise ValueError(f"d_slots={D} not a multiple of d_chunk={d_chunk}")
+        # fall back to the largest divisor of D: slot counts are bucketed
+        # per dataset and need not divide the configured chunk (e.g. a
+        # 488-slot bucket with d_chunk=64); a smaller exact chunk preserves
+        # values at worst a modest speed cost
+        d_chunk = next(c for c in range(d_chunk, 0, -1) if D % c == 0)
     n_chunks = D // d_chunk
 
     def body(acc, inputs):
