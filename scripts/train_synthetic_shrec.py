@@ -27,7 +27,7 @@ import numpy as np
 
 
 def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
-                 cache="/tmp/synth_shrec_records_v3"):
+                 cache="/tmp/synth_shrec_records_v4"):
     from fieldconv_tpu.data.base import process_mesh
     from fieldconv_tpu.data.synthetic import icosphere
 
@@ -45,13 +45,16 @@ def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
     train, test = [], []
     t0 = time.time()
     for c in range(n_classes):
-        # classes are structurally distinct (like SHREC11's 30 shape
-        # categories): monotone amplitude ladder + frequency as a second cue
-        # (a pure 5-freq x 2-amp grid measured unlearnable at this scale —
-        # batch-1 CE never left chance in 55 epochs)
-        freq = 2 + (c % 5)              # angular frequency of the bumps
-        amp = 0.06 + 0.06 * c           # steep ladder: classes as distinct
-                                        # as SHREC11's shape categories
+        # classes differ in GROSS geometry (like SHREC11's categories):
+        # an ellipsoid stretch ladder, with frequency bumps as texture.
+        # Probed alternatives that fail: bump-only classes keep the
+        # magnitude-pooled logits nearly constant across meshes at init
+        # (measured: identical loss/|grad| to 4 digits on 20 meshes), and
+        # a 10-way softmax never escapes chance in 10k batch-1 steps
+        # while 2-class and 5-class controls descend.
+        freq = 2 + (c % 5)              # bump texture frequency
+        amp = 0.10
+        stretch = 0.4 + 0.25 * c        # gross shape: z-axis ratio ladder
         for k in range(n_train + n_test):
             # class-specific radial field around a random axis
             axis = rng.normal(size=3)
@@ -61,6 +64,7 @@ def make_records(n_classes=10, n_train=10, n_test=2, subdiv=3, seed=0,
             r = 1.0 + amp * np.cos(freq * np.arccos(np.clip(ca, -1, 1))) \
                 * np.cos(freq * az)
             v = v0 * r[:, None]
+            v = v * np.array([1.0, 1.0, stretch])
             v = v + rng.normal(scale=0.002, size=v.shape)
             rec = process_mesh(v, f0, epsilon=0.2, sample_n=None,
                                name=f"c{c}_{k}", labels=np.int64(c))
