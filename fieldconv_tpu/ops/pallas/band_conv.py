@@ -1772,7 +1772,9 @@ def _bwd_panel_kernel(meta_s_ref, dy_ref, g_ref, sten_ref, w_ref,
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    @pl.when(meta_s_ref[3, p] == 1)
+    flags = meta_s_ref[3, p]           # first_s + 2*last_s
+
+    @pl.when(flags % 2 == 1)
     def _():
         dg_acc[:] = jnp.zeros_like(dg_acc)
 
@@ -1808,7 +1810,7 @@ def _bwd_panel_kernel(meta_s_ref, dy_ref, g_ref, sten_ref, w_ref,
         dw_ref[r] += jax.lax.dot_general(
             cr, dy, contract_rows, preferred_element_type=jnp.float32)
 
-    @pl.when(meta_s_ref[4, p] == 1)
+    @pl.when(flags >= 2)
     def _():
         dg_ref[:] = dg_acc[:]
 
@@ -1820,14 +1822,14 @@ def _panel_sten_spec(planes, TB):
 
 
 def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
-                         compressed, precision):
+                         compressed, precision, n_out=None):
     N, M = g.shape
     R, B, TB = n_rings, band_limit, tb
     K = 2 * B + 1
     C = M // (2 * K)
     O2 = wmat.shape[-1]
     P, planes = sten.shape[0], sten.shape[1]
-    nb = N // TB
+    n_out = N if n_out is None else n_out
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1849,14 +1851,14 @@ def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
                           O2=O2, compressed=compressed,
                           mxu_dtype=_mxu_dtype(precision)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, O2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, O2), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(meta, g, sten, wmat)
 
 
-def _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, tb, n_rings, band_limit,
-                         compressed, precision):
+def _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, coverage, tb, n_rings,
+                         band_limit, compressed, precision):
     N, M = g.shape
     R, B, TB = n_rings, band_limit, tb
     K = 2 * B + 1
@@ -1900,30 +1902,38 @@ def _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, tb, n_rings, band_limit,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(meta_s, dy, g, sten, wmat)
+    if coverage is not None:
+        # blocks with no panel on this shard are never written by the
+        # by-source grid — their buffer rows are undefined; zero them
+        # (jnp.where, so even NaN garbage is killed)
+        rows = jnp.repeat(coverage, TB)[:, None]
+        dg = jnp.where(rows > 0, dg, 0.0)
     return dg, dw
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _band_panel(g, wmat, sten, meta, meta_s, tb, n_rings, band_limit,
-                compressed, precision):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _band_panel(g, wmat, sten, meta, meta_s, coverage, tb, n_rings,
+                band_limit, compressed, precision, n_out=None):
     return _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
-                                compressed, precision)
+                                compressed, precision, n_out)
 
 
-def _band_panel_fwd(g, wmat, sten, meta, meta_s, tb, n_rings, band_limit,
-                    compressed, precision):
+def _band_panel_fwd(g, wmat, sten, meta, meta_s, coverage, tb, n_rings,
+                    band_limit, compressed, precision, n_out=None):
     y = _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
-                             compressed, precision)
-    return y, (g, wmat, sten, meta_s)
+                             compressed, precision, n_out)
+    return y, (g, wmat, sten, meta_s, coverage)
 
 
-def _band_panel_bwd(tb, n_rings, band_limit, compressed, precision, res, dy):
-    g, wmat, sten, meta_s = res
-    dg, dw = _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, tb, n_rings,
-                                  band_limit, compressed, precision)
+def _band_panel_bwd(tb, n_rings, band_limit, compressed, precision, n_out,
+                    res, dy):
+    g, wmat, sten, meta_s, coverage = res
+    dg, dw = _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, coverage, tb,
+                                  n_rings, band_limit, compressed, precision)
     zero_meta = np.zeros((4, meta_s.shape[1]), dtype=jax.dtypes.float0)
     d_meta_s = np.zeros(meta_s.shape, dtype=jax.dtypes.float0)
-    return dg, dw, jnp.zeros_like(sten), zero_meta, d_meta_s
+    d_cov = None if coverage is None else jnp.zeros_like(coverage)
+    return dg, dw, jnp.zeros_like(sten), zero_meta, d_meta_s, d_cov
 
 
 _band_panel.defvjp(_band_panel_fwd, _band_panel_bwd)
@@ -1989,9 +1999,9 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
     if isinstance(banded, PanelTable):
         wmat = filters_to_wmat(coeff)
         y2 = _band_panel(
-            g, wmat, banded.sten, banded.meta, banded.meta_s,
+            g, wmat, banded.sten, banded.meta, banded.meta_s, None,
             banded.tb, banded.n_rings, banded.band_limit,
-            banded.compressed, precision)
+            banded.compressed, precision, None)
         O = wmat.shape[-1] // 2
         return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     if isinstance(banded, BlockSparseTable):

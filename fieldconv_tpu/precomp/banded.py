@@ -394,9 +394,9 @@ class PanelTable:
         panels are ~10GB while compressed is ~3GB and fits HBM).
       meta:   (4, P) int32 rows (tgt, src, first_t, last_t), panels sorted
         by (tgt, src); drives the forward's scratch accumulation.
-      meta_s: (5, P) int32 rows (pid, tgt, src, first_s, last_s), the same
-        panels sorted by (src, tgt); drives the by-source backward grid that
-        writes dG blocks directly (no parts tensor, no scatter).
+      meta_s: (4, P) int32 rows (pid, tgt, src, first_s + 2*last_s), the
+        same panels sorted by (src, tgt); drives the by-source backward
+        grid that writes dG blocks directly (no parts tensor, no scatter).
       Field-major layout: Mosaic pads every SMEM scalar-prefetch ROW to
         512 bytes, so a (P, n_fields) layout would cost P*512 bytes of SMEM
         (8.6MB at 163k vertices vs the 1MB budget); (n_fields, P) costs
@@ -471,8 +471,10 @@ def build_panel_table(table: EdgeTable, tb: int = 128,
     first_s[1:] = (s_src[1:] != s_src[:-1]).astype(np.int32)
     last_s = np.ones(P, np.int32)
     last_s[:-1] = (s_src[:-1] != s_src[1:]).astype(np.int32)
+    # flags packed into one row (first + 2*last): Mosaic pads SMEM scalar
+    # operands to 8 rows, so a 5th row costs 60% more SMEM than a 4th
     meta_s = np.stack(
-        [order_s, pan_tgt[order_s], s_src, first_s, last_s], axis=0)
+        [order_s, pan_tgt[order_s], s_src, first_s + 2 * last_s], axis=0)
 
     pid = np.searchsorted(ukeys, key)
     t_loc = tgt_idx % tb
@@ -553,3 +555,116 @@ def reorder_precompute(perm: np.ndarray, supp_edges: np.ndarray, *vertex_arrays)
     new_edges = inv[e]
     outs = tuple(np.asarray(a)[perm] for a in vertex_arrays)
     return (new_edges,) + outs
+
+
+@dataclasses.dataclass
+class PanelShards:
+    """Per-shard panel tables for graph-parallel execution, stacked on a
+    leading shard axis for shard_map (parallel/panel_gp.py).
+
+    Layout per shard s (owning target blocks [s·nbl, (s+1)·nbl)):
+      sten  (S, P, planes, TB, TB) — the shard's panels (tgt sorted), zero
+        padding panels appended to the max per-shard count;
+      meta  (S, 4, P) — (tgt LOCAL block, src GLOBAL block, first_t,
+        last_t); padding panels repeat the last real (tgt, src) with flags
+        0 so they neither reset nor flush the accumulator;
+      meta_s (S, 4, P) — (pid, tgt LOCAL, src GLOBAL, first_s + 2*last_s)
+        sorted by (src, tgt) within the shard;
+      coverage (S, nb_global) — 1 where the shard owns >= 1 panel of that
+        source block (the backward zeroes unwritten dG blocks by this).
+    The forward reads the all_gather'ed GLOBAL g by src block; the
+    backward emits dG over global rows, masked by coverage, and the
+    all_gather transpose (psum_scatter) sums shards' contributions.
+    """
+
+    sten: jnp.ndarray
+    meta: jnp.ndarray
+    meta_s: jnp.ndarray
+    coverage: jnp.ndarray
+    tb: int
+    n_pad: int
+    n_local: int
+    band_limit: int
+    n_rings: int
+    compressed: bool = False
+
+    @property
+    def n_shards(self) -> int:
+        return self.sten.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    PanelShards,
+    data_fields=["sten", "meta", "meta_s", "coverage"],
+    meta_fields=["tb", "n_pad", "n_local", "band_limit", "n_rings",
+                 "compressed"],
+)
+
+
+def shard_panel_table(panel: PanelTable, n_shards: int) -> PanelShards:
+    """Split a global PanelTable by contiguous target-block ranges.
+
+    Panels are already sorted by target, so each shard's panels are a
+    contiguous slice; first/last flags stay valid because slices cut at
+    whole target groups.  Requires nb % n_shards == 0.
+    """
+    sten = np.asarray(panel.sten)
+    meta = np.asarray(panel.meta)
+    nb = panel.n_pad // panel.tb
+    if nb % n_shards:
+        raise ValueError(f"nb={nb} not divisible by n_shards={n_shards}")
+    nbl = nb // n_shards
+
+    pieces = []
+    for s in range(n_shards):
+        lo_b, hi_b = s * nbl, (s + 1) * nbl
+        sel = (meta[0] >= lo_b) & (meta[0] < hi_b)
+        idx = np.nonzero(sel)[0]
+        m = meta[:, idx].copy()
+        m[0] -= lo_b
+        pieces.append((sten[idx], m))
+
+    P_max = max(p[0].shape[0] for p in pieces)
+    stens, metas, metas_s, covs = [], [], [], []
+    for sten_s, m in pieces:
+        P_s = sten_s.shape[0]
+        pad = P_max - P_s
+        if pad:
+            sten_s = np.concatenate(
+                [sten_s, np.zeros((pad,) + sten_s.shape[1:], sten_s.dtype)])
+            last_col = m[:, -1:].copy()
+            last_col[2:] = 0                     # first_t = last_t = 0
+            m = np.concatenate([m, np.repeat(last_col, pad, axis=1)], axis=1)
+        # by-source view within the shard (padding panels: flags 0, pid
+        # pointing at their own zero-stencil rows, src = last real src so
+        # the out-block revisit never flushes an unwritten buffer)
+        tgt_l, src_g = m[0, :P_s], m[1, :P_s]
+        order = np.lexsort((tgt_l, src_g)).astype(np.int32)
+        ssrc = src_g[order]
+        first = np.ones(P_s, np.int32)
+        first[1:] = (ssrc[1:] != ssrc[:-1]).astype(np.int32)
+        last = np.ones(P_s, np.int32)
+        last[:-1] = (ssrc[:-1] != ssrc[1:]).astype(np.int32)
+        ms = np.stack([order, tgt_l[order], ssrc, first + 2 * last])
+        if pad:
+            pad_col = np.array(
+                [[P_s], [ms[1, -1]], [ms[2, -1]], [0]], np.int32)
+            pad_cols = np.repeat(pad_col, pad, axis=1)
+            pad_cols[0] = np.arange(P_s, P_max, dtype=np.int32)
+            ms = np.concatenate([ms, pad_cols], axis=1)
+        cov = np.zeros(nb, np.float32)
+        cov[np.unique(src_g)] = 1.0
+        stens.append(sten_s)
+        metas.append(m)
+        metas_s.append(ms)
+        covs.append(cov)
+
+    return PanelShards(
+        sten=jnp.asarray(np.stack(stens)),
+        meta=jnp.asarray(np.stack(metas)),
+        meta_s=jnp.asarray(np.stack(metas_s)),
+        coverage=jnp.asarray(np.stack(covs)),
+        tb=panel.tb, n_pad=panel.n_pad, n_local=nbl * panel.tb,
+        band_limit=panel.band_limit, n_rings=panel.n_rings,
+        compressed=panel.compressed,
+    )

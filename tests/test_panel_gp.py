@@ -1,0 +1,84 @@
+"""Graph-parallel panel-CSR conv: 4-shard == 1-device values and grads.
+
+The multi-chip path for the 100k-vertex config (panel stencil sharded by
+target blocks, g all_gather'ed, by-source backward + coverage masking,
+psum_scatter via the gather transpose)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from conftest import random_graph
+from fieldconv_tpu.ops.field_conv import field_conv
+from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
+from fieldconv_tpu.parallel.panel_gp import field_conv_panel_gp, local_shard
+from fieldconv_tpu.precomp.banded import (build_panel_table, kd_order,
+                                          reorder_precompute,
+                                          shard_panel_table)
+from fieldconv_tpu.precomp.stencil import build_edge_table
+
+
+@pytest.mark.parametrize("compressed", [True, False])
+def test_panel_gp_matches_single_device(rng, compressed):
+    n_shards = 4
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=1, R=3, epsilon=0.5)
+    pos = rng.normal(size=(g["n_vertices"], 3))
+    perm = kd_order(pos, tb=8)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], g["n_vertices"], g["B"], g["R"],
+                             g["epsilon"], n_multiple=8)
+    panel = build_panel_table(table, tb=8, compressed=compressed)
+    shards = shard_panel_table(panel, n_shards)
+
+    N, C, O, B, R = table.n_pad, 4, 3, g["B"], g["R"]
+    x = jnp.asarray(np.stack([rng.normal(size=(N, C)),
+                              rng.normal(size=(N, C))], -1), jnp.float32)
+    zon = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    def loss1(x, zon, sph, ph):
+        y = field_conv_banded(x, panel, zon, sph, ph, 1)
+        return jnp.sum(y * y), y
+
+    (l1, y1), g1 = jax.value_and_grad(loss1, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(x, zon, sph, ph)
+
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    gp = P("graph")
+
+    def loss_gp(x_l, sten, meta, meta_s, cov, zon, sph, ph):
+        # in_specs P('graph') deliver the local (1, ...) rows
+        sh = local_shard(type(shards)(
+            sten=sten, meta=meta, meta_s=meta_s, coverage=cov,
+            tb=shards.tb, n_pad=shards.n_pad, n_local=shards.n_local,
+            band_limit=shards.band_limit, n_rings=shards.n_rings,
+            compressed=shards.compressed))
+        y = field_conv_panel_gp(x_l, sh, zon, sph, ph, 1, "graph")
+        return jax.lax.psum(jnp.sum(y * y), "graph"), y
+
+    smapped = jax.shard_map(
+        loss_gp, mesh=mesh,
+        in_specs=(gp, gp, gp, gp, gp, P(), P(), P()),
+        out_specs=(P(), gp),
+        check_vma=False,
+    )
+
+    def wrapped(x, zon, sph, ph):
+        l, y = smapped(x, shards.sten, shards.meta, shards.meta_s,
+                       shards.coverage, zon, sph, ph)
+        return l, y
+
+    with mesh:
+        (l2, y2), g2 = jax.value_and_grad(wrapped, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(x, zon, sph, ph)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
