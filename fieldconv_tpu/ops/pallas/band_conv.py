@@ -1712,25 +1712,27 @@ _band_fused_megaw.defvjp(_band_fused_megaw_fwd, _band_fused_megaw_bwd)
 # accumulates in a revisited output block like the other fused backwards.
 
 
-def _panel_pairs(sten_ref, *, R, K, B, compressed):
-    """(k, f_re, f_im) angular factors + radial hats of one panel block."""
+def _panel_pairs(sten_ref, *, R, K, B, compressed, j=0):
+    """(k, f_re, f_im) angular factors + radial hats of panel j of a
+    (CH, planes, TB, TB) stencil block."""
     if compressed:
-        rv = sten_ref[0, 0]
+        rv = sten_ref[j, 0]
         hats = _hats_from_r(rv, R)
-        pairs = _phasor_pairs(sten_ref[0, 3], sten_ref[0, 4],
-                              sten_ref[0, 1], sten_ref[0, 2], B)
+        pairs = _phasor_pairs(sten_ref[j, 3], sten_ref[j, 4],
+                              sten_ref[j, 1], sten_ref[j, 2], B)
     else:
-        hats = sten_ref[0, :R]
-        pairs = [(k, sten_ref[0, R + 2 * k], sten_ref[0, R + 2 * k + 1])
+        hats = sten_ref[j, :R]
+        pairs = [(k, sten_ref[j, R + 2 * k], sten_ref[j, R + 2 * k + 1])
                  for k in range(K)]
     return hats, pairs
 
 
 def _panel_accum(g_ref, sten_ref, contrib, *, R, K, B, C, TB, compressed,
-                 mxu_dtype):
-    """contrib += this panel's partial (R*TB, K*2C) contribution."""
+                 mxu_dtype, j=0):
+    """contrib += panel j's partial (R*TB, K*2C) contribution."""
     C2 = 2 * C
-    hats, pairs = _panel_pairs(sten_ref, R=R, K=K, B=B, compressed=compressed)
+    hats, pairs = _panel_pairs(sten_ref, R=R, K=K, B=B, compressed=compressed,
+                               j=j)
     for k, f_re, f_im in pairs:
         s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
         s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
@@ -1821,8 +1823,95 @@ def _panel_sten_spec(planes, TB):
                         memory_space=pltpu.VMEM)
 
 
+# --- chunked panel kernels: CH panels per grid step -------------------------
+#
+# At 163k vertices the panel grid runs ~17k steps and per-step pipeline
+# overhead dominates the fwd+bwd step (docs/KERNEL_NOTES.md).  The builder
+# pads every target group (fwd) and source group (bwd) to a multiple of
+# `chunk` with zero panels, so each grid step processes CH panels of ONE
+# group: the first/last flags of the chunk's first/last panels drive the
+# scratch accumulation exactly as in the unchunked kernels.
+
+
+def _fwd_panel_chunk_kernel(meta_ref, *refs, R, K, B, C, TB, O2, CH,
+                            compressed, mxu_dtype=jnp.float32):
+    g_refs = refs[:CH]
+    sten_ref, w_ref, out_ref, contrib = refs[CH:CH + 4]
+    p = pl.program_id(0)
+    base = p * CH
+
+    @pl.when(meta_ref[2, base] == 1)
+    def _():
+        contrib[:] = jnp.zeros_like(contrib)
+
+    for j in range(CH):
+        _panel_accum(g_refs[j], sten_ref, contrib, R=R, K=K, B=B, C=C,
+                     TB=TB, compressed=compressed, mxu_dtype=mxu_dtype, j=j)
+
+    @pl.when(meta_ref[3, base + CH - 1] == 1)
+    def _():
+        _apply_w(contrib, w_ref, out_ref, R=R, TB=TB, O2=O2,
+                 mxu_dtype=mxu_dtype)
+
+
+def _bwd_panel_chunk_kernel(meta_s_ref, *refs, R, K, B, C, TB, O2, CH,
+                            compressed, mxu_dtype=jnp.float32):
+    dy_refs = refs[:CH]
+    g_refs = refs[CH:2 * CH]
+    sten_refs = refs[2 * CH:3 * CH]
+    w_ref, dg_ref, dw_ref = refs[3 * CH:3 * CH + 3]
+    dcontrib, pc, dg_acc = refs[3 * CH + 3:3 * CH + 6]
+    p = pl.program_id(0)
+    base = p * CH
+    C2 = 2 * C
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+
+    @pl.when(p == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(meta_s_ref[3, base] % 2 == 1)
+    def _():
+        dg_acc[:] = jnp.zeros_like(dg_acc)
+
+    for j in range(CH):
+        dy = dy_refs[j][:].astype(mxu_dtype)
+        for r in range(R):
+            dcontrib[r * TB:(r + 1) * TB, :] = jax.lax.dot_general(
+                dy, w_ref[r].astype(mxu_dtype), contract_cols,
+                preferred_element_type=jnp.float32)
+        pc[:] = jnp.zeros_like(pc)
+        hats, pairs = _panel_pairs(sten_refs[j], R=R, K=K, B=B,
+                                   compressed=compressed, j=0)
+        for k, f_re, f_im in pairs:
+            s_re = (hats * f_re[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            s_im = (hats * f_im[None]).reshape(R * TB, TB).astype(mxu_dtype)
+            gj = g_refs[j][:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+            pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+            pc[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+            pc[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+            d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+            p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                     preferred_element_type=jnp.float32)
+            dg_acc[:, (2 * k) * C:(2 * k + 1) * C] += p1[:, :C] + p2[:, C:]
+            dg_acc[:, (2 * k + 1) * C:(2 * k + 2) * C] += \
+                p1[:, C:] - p2[:, :C]
+        for r in range(R):
+            cr = pc[r * TB:(r + 1) * TB, :].astype(mxu_dtype)
+            dw_ref[r] += jax.lax.dot_general(
+                cr, dy, contract_rows, preferred_element_type=jnp.float32)
+
+    @pl.when(meta_s_ref[3, base + CH - 1] >= 2)
+    def _():
+        dg_ref[:] = dg_acc[:]
+
+
 def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
-                         compressed, precision, n_out=None):
+                         compressed, precision, n_out=None, chunk=1):
     N, M = g.shape
     R, B, TB = n_rings, band_limit, tb
     K = 2 * B + 1
@@ -1830,6 +1919,41 @@ def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
     O2 = wmat.shape[-1]
     P, planes = sten.shape[0], sten.shape[1]
     n_out = N if n_out is None else n_out
+
+    if chunk > 1:
+        CH = chunk
+        g_specs = [
+            pl.BlockSpec(
+                (TB, M),
+                functools.partial(
+                    lambda p, m, jj: (m[1, p * CH + jj], 0), jj=j),
+                memory_space=pltpu.VMEM)
+            for j in range(CH)
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(P // CH,),
+            in_specs=g_specs + [
+                pl.BlockSpec((CH, planes, TB, TB),
+                             lambda p, m: (p, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TB, O2),
+                                   lambda p, m: (m[0, p * CH], 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((R * TB, M), jnp.float32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_fwd_panel_chunk_kernel, R=R, K=K, B=B, C=C,
+                              TB=TB, O2=O2, CH=CH, compressed=compressed,
+                              mxu_dtype=_mxu_dtype(precision)),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out, O2), jnp.float32),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(meta, *([g] * CH), sten, wmat)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1858,13 +1982,75 @@ def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
 
 
 def _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, coverage, tb, n_rings,
-                         band_limit, compressed, precision):
+                         band_limit, compressed, precision, chunk=1):
     N, M = g.shape
     R, B, TB = n_rings, band_limit, tb
     K = 2 * B + 1
     C = M // (2 * K)
     O2 = wmat.shape[-1]
     P, planes = sten.shape[0], sten.shape[1]
+    Ps = meta_s.shape[1]
+
+    if chunk > 1:
+        CH = chunk
+
+        def spec_dy(j):
+            return pl.BlockSpec(
+                (TB, O2),
+                functools.partial(
+                    lambda p, m, jj: (m[1, p * CH + jj], 0), jj=j),
+                memory_space=pltpu.VMEM)
+
+        def spec_g(j):
+            return pl.BlockSpec(
+                (TB, M),
+                functools.partial(
+                    lambda p, m, jj: (m[2, p * CH + jj], 0), jj=j),
+                memory_space=pltpu.VMEM)
+
+        def spec_sten(j):
+            return pl.BlockSpec(
+                (1, planes, TB, TB),
+                functools.partial(
+                    lambda p, m, jj: (m[0, p * CH + jj], 0, 0, 0), jj=j),
+                memory_space=pltpu.VMEM)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Ps // CH,),
+            in_specs=[spec_dy(j) for j in range(CH)]
+            + [spec_g(j) for j in range(CH)]
+            + [spec_sten(j) for j in range(CH)]
+            + [pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                            memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((TB, M), lambda p, m: (m[2, p * CH], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((R * TB, M), jnp.float32),
+                pltpu.VMEM((R * TB, M), jnp.float32),
+                pltpu.VMEM((TB, M), jnp.float32),
+            ],
+        )
+        dg, dw = pl.pallas_call(
+            functools.partial(_bwd_panel_chunk_kernel, R=R, K=K, B=B, C=C,
+                              TB=TB, O2=O2, CH=CH, compressed=compressed,
+                              mxu_dtype=_mxu_dtype(precision)),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((N, M), jnp.float32),
+                jax.ShapeDtypeStruct((R, M, O2), jnp.float32),
+            ],
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(meta_s, *([dy] * CH), *([g] * CH), *([sten] * CH), wmat)
+        if coverage is not None:
+            rows = jnp.repeat(coverage, TB)[:, None]
+            dg = jnp.where(rows > 0, dg, 0.0)
+        return dg, dw
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1911,25 +2097,27 @@ def _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, coverage, tb, n_rings,
     return dg, dw
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _band_panel(g, wmat, sten, meta, meta_s, coverage, tb, n_rings,
-                band_limit, compressed, precision, n_out=None):
+                band_limit, compressed, precision, n_out=None, chunk=1):
     return _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
-                                compressed, precision, n_out)
+                                compressed, precision, n_out, chunk)
 
 
 def _band_panel_fwd(g, wmat, sten, meta, meta_s, coverage, tb, n_rings,
-                    band_limit, compressed, precision, n_out=None):
+                    band_limit, compressed, precision, n_out=None, chunk=1):
     y = _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
-                             compressed, precision, n_out)
+                             compressed, precision, n_out, chunk)
     return y, (g, wmat, sten, meta_s, coverage)
 
 
 def _band_panel_bwd(tb, n_rings, band_limit, compressed, precision, n_out,
-                    res, dy):
+                    chunk, res, dy):
     g, wmat, sten, meta_s, coverage = res
     dg, dw = _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, coverage, tb,
-                                  n_rings, band_limit, compressed, precision)
+                                  n_rings, band_limit, compressed, precision,
+                                  chunk)
     zero_meta = np.zeros((4, meta_s.shape[1]), dtype=jax.dtypes.float0)
     d_meta_s = np.zeros(meta_s.shape, dtype=jax.dtypes.float0)
     d_cov = None if coverage is None else jnp.zeros_like(coverage)
@@ -2001,7 +2189,7 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
         y2 = _band_panel(
             g, wmat, banded.sten, banded.meta, banded.meta_s, None,
             banded.tb, banded.n_rings, banded.band_limit,
-            banded.compressed, precision, None)
+            banded.compressed, precision, None, banded.chunk)
         O = wmat.shape[-1] // 2
         return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     if isinstance(banded, BlockSparseTable):

@@ -413,6 +413,7 @@ class PanelTable:
     band_limit: int
     n_rings: int
     compressed: bool = False
+    chunk: int = 1
 
     @property
     def n_panels(self) -> int:
@@ -426,14 +427,45 @@ class PanelTable:
 jax.tree_util.register_dataclass(
     PanelTable,
     data_fields=["sten", "meta", "meta_s"],
-    meta_fields=["tb", "n_pad", "band_limit", "n_rings", "compressed"],
+    meta_fields=["tb", "n_pad", "band_limit", "n_rings", "compressed",
+                 "chunk"],
 )
 
 
+def _pad_groups(keys: np.ndarray, chunk: int):
+    """Positions for padding sorted group runs to multiples of `chunk`.
+
+    keys: (P,) sorted group labels.  Returns (new_P, new_pos (P,), pad_pos,
+    pad_key) — old item p moves to new_pos[p]; pad slots (with their group
+    label) fill the remainder of each group."""
+    uniq, counts = np.unique(keys, return_counts=True)
+    padded = -(-counts // chunk) * chunk
+    starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    start_of = dict(zip(uniq.tolist(), starts.tolist()))
+    # offsets within group = position - group first position (keys sorted)
+    first_pos = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off = np.arange(len(keys)) - np.repeat(first_pos, counts)
+    new_pos = np.repeat(starts, counts) + off
+    new_P = int(padded.sum())
+    mask = np.zeros(new_P, bool)
+    mask[new_pos] = True
+    pad_pos = np.nonzero(~mask)[0]
+    # group label of each pad slot
+    bounds = np.concatenate([starts, [new_P]])
+    pad_key = uniq[np.searchsorted(bounds[1:], pad_pos, side="right")]
+    return new_P, new_pos, pad_pos, pad_key
+
+
 def build_panel_table(table: EdgeTable, tb: int = 128,
-                      compressed: bool = False) -> PanelTable:
+                      compressed: bool = False,
+                      chunk: int = 1) -> PanelTable:
     """Build the panel-CSR band from a padded-CSR EdgeTable (vertex order
-    should be block-local, e.g. kd_order)."""
+    should be block-local, e.g. kd_order).
+
+    chunk > 1: pad every target group (and the backward's source groups)
+    to a multiple of `chunk` with zero panels, so the kernels process
+    `chunk` panels per grid step — the 163k-vertex step is dominated by
+    per-grid-step pipeline overhead (docs/KERNEL_NOTES.md)."""
     src = np.asarray(table.src)
     mask = np.asarray(table.mask) > 0
     N, D = src.shape
@@ -455,28 +487,63 @@ def build_panel_table(table: EdgeTable, tb: int = 128,
     if len(missing):
         ukeys = np.unique(np.concatenate(
             [ukeys, missing * np.int64(nb) + missing]))
-    P = len(ukeys)
-    pan_tgt = (ukeys // nb).astype(np.int32)
-    pan_src = (ukeys % nb).astype(np.int32)
+    P0 = len(ukeys)
+    tgt0 = (ukeys // nb).astype(np.int32)
+    src0 = (ukeys % nb).astype(np.int32)
+
+    if chunk > 1:
+        P, new_pos, pad_pos, pad_tgt = _pad_groups(tgt0, chunk)
+        pan_tgt = np.empty(P, np.int32)
+        pan_src = np.empty(P, np.int32)
+        pan_tgt[new_pos], pan_src[new_pos] = tgt0, src0
+        pan_tgt[pad_pos] = pad_tgt
+        pan_src[pad_pos] = pad_tgt          # self-block: valid g fetch
+        real = np.zeros(P, bool)
+        real[new_pos] = True
+    else:
+        P, pan_tgt, pan_src = P0, tgt0, src0
+        new_pos = np.arange(P0)
+        pad_pos = np.zeros(0, np.int64)
+        real = np.ones(P, bool)
+
     first = np.ones(P, np.int32)
     first[1:] = (pan_tgt[1:] != pan_tgt[:-1]).astype(np.int32)
     last = np.ones(P, np.int32)
     last[:-1] = (pan_tgt[:-1] != pan_tgt[1:]).astype(np.int32)
     meta = np.stack([pan_tgt, pan_src, first, last], axis=0)
 
-    # src-sorted view for the backward
-    order_s = np.lexsort((pan_tgt, pan_src)).astype(np.int32)
-    s_src = pan_src[order_s]
-    first_s = np.ones(P, np.int32)
-    first_s[1:] = (s_src[1:] != s_src[:-1]).astype(np.int32)
-    last_s = np.ones(P, np.int32)
-    last_s[:-1] = (s_src[:-1] != s_src[1:]).astype(np.int32)
+    # src-sorted view for the backward (over REAL panels; pads for chunked
+    # grids reference zero panels from the target-side padding)
+    real_idx = np.nonzero(real)[0].astype(np.int32)
+    r_tgt, r_src = pan_tgt[real_idx], pan_src[real_idx]
+    order = np.lexsort((r_tgt, r_src))
+    s_pid = real_idx[order]
+    s_tgt = r_tgt[order]
+    s_src = r_src[order]
+    if chunk > 1:
+        Ps, s_new_pos, s_pad_pos, s_pad_src = _pad_groups(s_src, chunk)
+        if len(s_pad_pos) and not len(pad_pos):
+            raise AssertionError("src pads need a zero panel to reference")
+        pid_a = np.empty(Ps, np.int32)
+        tgt_a = np.empty(Ps, np.int32)
+        src_a = np.empty(Ps, np.int32)
+        pid_a[s_new_pos], tgt_a[s_new_pos], src_a[s_new_pos] = \
+            s_pid, s_tgt, s_src
+        if len(s_pad_pos):
+            pid_a[s_pad_pos] = pad_pos[0]   # any zero panel
+            tgt_a[s_pad_pos] = 0
+            src_a[s_pad_pos] = s_pad_src
+    else:
+        Ps, pid_a, tgt_a, src_a = P0, s_pid, s_tgt, s_src
+    first_s = np.ones(Ps, np.int32)
+    first_s[1:] = (src_a[1:] != src_a[:-1]).astype(np.int32)
+    last_s = np.ones(Ps, np.int32)
+    last_s[:-1] = (src_a[:-1] != src_a[1:]).astype(np.int32)
     # flags packed into one row (first + 2*last): Mosaic pads SMEM scalar
     # operands to 8 rows, so a 5th row costs 60% more SMEM than a 4th
-    meta_s = np.stack(
-        [order_s, pan_tgt[order_s], s_src, first_s + 2 * last_s], axis=0)
+    meta_s = np.stack([pid_a, tgt_a, src_a, first_s + 2 * last_s], axis=0)
 
-    pid = np.searchsorted(ukeys, key)
+    pid = new_pos[np.searchsorted(ukeys, key)]
     t_loc = tgt_idx % tb
     s_loc = s % tb
     flat = pid * np.int64(tb * tb) + t_loc * tb + s_loc
@@ -512,7 +579,7 @@ def build_panel_table(table: EdgeTable, tb: int = 128,
         sten=jnp.asarray(sten), meta=jnp.asarray(meta),
         meta_s=jnp.asarray(meta_s),
         tb=tb, n_pad=N, band_limit=table.band_limit, n_rings=table.n_rings,
-        compressed=compressed,
+        compressed=compressed, chunk=chunk,
     )
 
 
@@ -608,6 +675,10 @@ def shard_panel_table(panel: PanelTable, n_shards: int) -> PanelShards:
     contiguous slice; first/last flags stay valid because slices cut at
     whole target groups.  Requires nb % n_shards == 0.
     """
+    if panel.chunk != 1:
+        raise NotImplementedError(
+            "shard_panel_table expects an unchunked PanelTable (the "
+            "per-shard by-source views are rebuilt without chunk padding)")
     sten = np.asarray(panel.sten)
     meta = np.asarray(panel.meta)
     nb = panel.n_pad // panel.tb

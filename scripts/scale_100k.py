@@ -15,7 +15,8 @@ Replaces the reference's per-sample solver loop (fcutils/src/main.cpp:
 118-124) at a scale the reference cannot reach.  Writes one JSON line per
 stage to stdout.
 
-Env knobs: SCALE_SUBDIV (7), SCALE_TB (128), SCALE_CACHE (npz path).
+Env knobs: SCALE_SUBDIV (7), SCALE_TB (128), SCALE_CHUNK (1),
+SCALE_CACHE (npz path).
 """
 import json
 import os
@@ -39,6 +40,7 @@ def main():
     t_all = time.time()
     subdiv = int(os.environ.get("SCALE_SUBDIV", "7"))
     TB = int(os.environ.get("SCALE_TB", "128"))
+    CH = int(os.environ.get("SCALE_CHUNK", "1"))
     v, f = icosphere(subdiv=subdiv)
     v = normalize_area(v, f)
     N = len(v)
@@ -74,12 +76,12 @@ def main():
     edges_r, w_r = reorder_precompute(perm, edges, w)
     table = build_edge_table(edges_r, lm, la, w_r, xpc,
                              N, B, R, eps, n_multiple=TB)
-    panel = build_panel_table(table, tb=TB, compressed=True)
+    panel = build_panel_table(table, tb=TB, compressed=True, chunk=CH)
     t_band = time.time() - t0
     sten_gb = panel.sten.size * 4 / 1e9
     nb = table.n_pad // TB
     print(json.dumps({"stage": "panel_table", "seconds": round(t_band, 1),
-                      "n_panels": int(panel.n_panels),
+                      "chunk": CH, "n_panels": int(panel.n_panels),
                       "panels_per_block": round(panel.n_panels / nb, 1),
                       "stencil_gb": round(sten_gb, 2)}), flush=True)
 

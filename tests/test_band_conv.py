@@ -461,8 +461,9 @@ def test_echo_pallas_matches_xla(rng, n_bins):
                                atol=3e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("compressed", [False, True])
-def test_panel_matches_gather(rng, compressed):
+@pytest.mark.parametrize("compressed,chunk", [
+    (False, 1), (True, 1), (True, 4)])
+def test_panel_matches_gather(rng, compressed, chunk):
     """Panel-CSR band (grid over (tgt,src)-block panels, by-source backward
     emitting dG directly) == the XLA gather path: values and grads on a
     ragged kd-ordered graph, dense and compressed panel stencils."""
@@ -476,7 +477,8 @@ def test_panel_matches_gather(rng, compressed):
     table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w, g["xp"],
                              g["n_vertices"], g["B"], g["R"], g["epsilon"],
                              n_multiple=8)
-    panel = build_panel_table(table, tb=8, compressed=compressed)
+    panel = build_panel_table(table, tb=8, compressed=compressed,
+                              chunk=chunk)
     nb = table.n_pad // 8
     # panel bookkeeping invariants: sorted by tgt, every block covered both
     # as target and as source
