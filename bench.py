@@ -354,15 +354,18 @@ def main():
 
     # --- coarse stage: host-dispatched step, first number on record as soon
     # as the first compile lands (the refined scan protocol below overwrites
-    # it; if the tunnel stalls mid-way, this line is what the parent prints)
-    coarse_step = jax.jit(one_step)
-    xc, chk = coarse_step(x, zonal, sph, phase, bias, tbl_arg)
-    float(chk)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        xc, chk = coarse_step(xc, zonal, sph, phase, bias, tbl_arg)
-    float(chk)
-    emit((time.perf_counter() - t0) / 3)
+    # it; if the tunnel stalls mid-way, this line is what the parent prints).
+    # Only under the parent/child progress-file protocol: stand-alone runs
+    # (BENCH_NO_FORK=1) must print exactly ONE JSON line, the refined one.
+    if os.environ.get("BENCH_PROGRESS_FILE"):
+        coarse_step = jax.jit(one_step)
+        xc, chk = coarse_step(x, zonal, sph, phase, bias, tbl_arg)
+        float(chk)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            xc, chk = coarse_step(xc, zonal, sph, phase, bias, tbl_arg)
+        float(chk)
+        emit((time.perf_counter() - t0) / 3)
 
     if loop_mode == "device":
         @jax.jit

@@ -165,12 +165,9 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 128,
     if d_chunk >= D:
         hist = chunk_hist(table.src, table.ln, table.wxp, table.mask)
     else:
-        if D % d_chunk:
-            # fall back to the largest divisor of D: slot counts are
-            # bucketed per dataset and need not divide the configured chunk
-            # (e.g. a 488-slot bucket with d_chunk=64); a smaller exact
-            # chunk preserves values at worst a modest speed cost
-            d_chunk = next(c for c in range(d_chunk, 0, -1) if D % c == 0)
+        from .field_conv import resolve_d_chunk
+
+        d_chunk = resolve_d_chunk(D, d_chunk)
         n_chunks = D // d_chunk
         split = lambda a: jnp.moveaxis(
             a.reshape(N, n_chunks, d_chunk, *a.shape[2:]), 1, 0

@@ -23,11 +23,35 @@ The filter contraction is one complex matmul (N, R·C·K) × (R·C·K, O).
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 
 from ..precomp.edge_table import EdgeTable
 from ..utils.complexops import cexpi, cmul, soft_angle  # noqa: F401 (cexpi/soft_angle used by other modules' imports)
+
+
+def resolve_d_chunk(D: int, d_chunk: int) -> int:
+    """Largest divisor of D that is <= d_chunk (slot buckets need not divide
+    the configured chunk).  Warns when the fallback degrades badly: a
+    near-prime bucket (e.g. D=254) silently drops the chunk to 1-2, turning
+    one batched matmul into a ~D-step scan.  Re-bucket the table
+    (EdgeTable n_multiple) rather than living with the warning."""
+    if d_chunk >= D:
+        return D
+    if D % d_chunk == 0:
+        return d_chunk
+    best = next(c for c in range(d_chunk, 0, -1) if D % c == 0)
+    if best < max(d_chunk // 4, 2):
+        warnings.warn(
+            f"d_chunk={d_chunk} fell back to {best} (largest divisor of the "
+            f"{D}-slot bucket) — the scan now runs {D // best} steps; pad "
+            f"the slot bucket to a multiple of a power of two (EdgeTable "
+            f"n_multiple) to restore the batched contraction",
+            stacklevel=3,
+        )
+    return best
 
 
 def cmatmul(a, b):
@@ -101,12 +125,7 @@ def field_conv_contrib(x, table: EdgeTable, d_chunk: int = 128):
     if d_chunk >= D:
         return chunk_contrib(table.src, table.fwxp, table.rsten)
 
-    if D % d_chunk:
-        # fall back to the largest divisor of D: slot counts are bucketed
-        # per dataset and need not divide the configured chunk (e.g. a
-        # 488-slot bucket with d_chunk=64); a smaller exact chunk preserves
-        # values at worst a modest speed cost
-        d_chunk = next(c for c in range(d_chunk, 0, -1) if D % c == 0)
+    d_chunk = resolve_d_chunk(D, d_chunk)
     n_chunks = D // d_chunk
 
     def body(acc, inputs):

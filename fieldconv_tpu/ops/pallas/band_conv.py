@@ -659,10 +659,14 @@ _MEGA_SLOTS = int(_os.environ.get("FIELDCONV_MEGA_SLOTS", "4"))
 def _mega_fits(N, M, O2, R, K, TB, NJ):
     """Whether the mega kernels' VMEM-whole working set fits the budget
     (bwd is the larger: dy + g + dG + dW + wmat + 2 stencil slots +
-    contrib + dcontrib)."""
+    contrib + dcontrib).  g is counted at the megaw row count
+    (N + 2·nh·TB for gp and dgp) since pipeline='auto' routes to the wide
+    kernel first; for the classic mega/cmega paths this over-counts by
+    2·nh·TB rows, a conservative error."""
     f = 4
+    n_pad_rows = N + (NJ - 1) * TB      # megaw pads g by nh·TB on each side
     sten_slot = (R + 2 * K) * TB * NJ * TB * f
-    need = (N * O2 * f + 2 * N * M * f + 2 * R * M * O2 * f
+    need = (N * O2 * f + 2 * n_pad_rows * M * f + 2 * R * M * O2 * f
             + _MEGA_SLOTS * sten_slot + 2 * R * TB * M * f)
     return need <= _MEGA_VMEM_BUDGET
 
@@ -2109,16 +2113,19 @@ def _band_panel_fwd(g, wmat, sten, meta, meta_s, coverage, tb, n_rings,
                     band_limit, compressed, precision, n_out=None, chunk=1):
     y = _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
                              compressed, precision, n_out, chunk)
-    return y, (g, wmat, sten, meta_s, coverage)
+    return y, (g, wmat, sten, meta, meta_s, coverage)
 
 
 def _band_panel_bwd(tb, n_rings, band_limit, compressed, precision, n_out,
                     chunk, res, dy):
-    g, wmat, sten, meta_s, coverage = res
+    g, wmat, sten, meta, meta_s, coverage = res
     dg, dw = _band_panel_bwd_impl(dy, g, wmat, sten, meta_s, coverage, tb,
                                   n_rings, band_limit, compressed, precision,
                                   chunk)
-    zero_meta = np.zeros((4, meta_s.shape[1]), dtype=jax.dtypes.float0)
+    # meta and meta_s have different panel counts when chunk > 1 (the fwd
+    # grid pads target groups, the bwd grid source groups) — each float0
+    # cotangent must carry its own primal's shape
+    zero_meta = np.zeros(meta.shape, dtype=jax.dtypes.float0)
     d_meta_s = np.zeros(meta_s.shape, dtype=jax.dtypes.float0)
     d_cov = None if coverage is None else jnp.zeros_like(coverage)
     return dg, dw, jnp.zeros_like(sten), zero_meta, d_meta_s, d_cov

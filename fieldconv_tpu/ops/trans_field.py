@@ -68,12 +68,9 @@ def trans_field_contrib(x, table: EdgeTable, lift_cols=(0, 1), d_chunk: int = 12
             table.src, table.rsten, table.fwxp[..., k0, :], table.fwxp[..., k1, :]
         )
 
-    if D % d_chunk:
-        # fall back to the largest divisor of D: slot counts are bucketed
-        # per dataset and need not divide the configured chunk (e.g. a
-        # 488-slot bucket with d_chunk=64); a smaller exact chunk preserves
-        # values at worst a modest speed cost
-        d_chunk = next(c for c in range(d_chunk, 0, -1) if D % c == 0)
+    from .field_conv import resolve_d_chunk
+
+    d_chunk = resolve_d_chunk(D, d_chunk)
     n_chunks = D // d_chunk
     split = lambda a: jnp.moveaxis(a.reshape(N, n_chunks, d_chunk, *a.shape[2:]), 1, 0)
 

@@ -500,6 +500,22 @@ def build_panel_table(table: EdgeTable, tb: int = 128,
         pan_src[pad_pos] = pad_tgt          # self-block: valid g fetch
         real = np.zeros(P, bool)
         real[new_pos] = True
+        # the by-source view below needs >= 1 zero panel to point its own
+        # pads at; when every TARGET group count is already a multiple of
+        # chunk but some SOURCE group count is not, append a dedicated
+        # all-zero chunk group (tgt = last block: its real `last` panel
+        # moves to the group's end, which re-writes the same output rows
+        # with an unchanged accumulator — a wasted grid step, not an error)
+        src_counts = np.unique(src0, return_counts=True)[1]
+        if not len(pad_pos) and (src_counts % chunk).any():
+            extra = pan_tgt[-1]
+            pan_tgt = np.concatenate(
+                [pan_tgt, np.full(chunk, extra, np.int32)])
+            pan_src = np.concatenate(
+                [pan_src, np.full(chunk, extra, np.int32)])
+            real = np.concatenate([real, np.zeros(chunk, bool)])
+            pad_pos = np.arange(P, P + chunk)
+            P += chunk
     else:
         P, pan_tgt, pan_src = P0, tgt0, src0
         new_pos = np.arange(P0)

@@ -348,10 +348,16 @@ def test_trans_field_banded_matches_xla(rng):
                                    atol=5e-5, rtol=1e-4)
 
 
-@pytest.mark.slow
-def test_mega_pipeline_matches_grid(rng):
-    """The single-grid-step manual-DMA mega kernel == the grid pipeline:
-    values and grads (x + all filter params), even/odd block counts."""
+@pytest.mark.parametrize("pipeline", [
+    pytest.param("mega", marks=pytest.mark.slow),
+    # megaw is pipeline='auto''s first choice (the default production path)
+    # so its grid parity stays in the DEFAULT suite
+    "megaw",
+])
+def test_mega_pipeline_matches_grid(rng, pipeline):
+    """The single-grid-step manual-DMA mega kernels (classic + wide) == the
+    grid pipeline: values and grads (x + all filter params), even/odd block
+    counts."""
     from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
 
     for nv in (48, 40):                       # even / odd nb at tb=8
@@ -374,7 +380,7 @@ def test_mega_pipeline_matches_grid(rng):
                                                         "grid")
         (l2, y2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
                                           has_aux=True)(x, zon, sph, ph,
-                                                        "mega")
+                                                        pipeline)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                    rtol=1e-5, atol=1e-6)
         for a, b in zip(g1, g2):
@@ -511,3 +517,50 @@ def test_panel_matches_gather(rng, compressed, chunk):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_panel_chunk_src_pad_without_tgt_pad(rng):
+    """chunk>1 on a graph whose TARGET group counts already divide `chunk`
+    but whose SOURCE group counts do not: the builder must append a zero
+    panel for the by-source pads to reference (it used to assert).  Panel
+    structure (tgt_blk, src_blk): (0,0),(0,1),(1,0),(1,2),(2,0),(2,1) —
+    tgt counts [2,2,2], src counts [3,2,1] with chunk=2."""
+    from fieldconv_tpu.precomp.banded import build_panel_table
+
+    tb, nblk = 8, 3
+    N = tb * nblk
+    pairs = [(0, 0), (0, 1), (1, 0), (1, 2), (2, 0), (2, 1)]
+    edges = []
+    for bt, bs in pairs:
+        for t_loc in range(tb):
+            edges.append((bs * tb + (t_loc * 3 + bt) % tb, bt * tb + t_loc))
+    edges = np.asarray(edges, np.int64)
+    E = len(edges)
+    B, R, eps = 1, 3, 0.5
+    table = build_edge_table(
+        edges, rng.uniform(0.0, 0.4, E), rng.uniform(-np.pi, np.pi, E),
+        rng.uniform(0.1, 1.0, N), np.exp(1j * rng.uniform(-np.pi, np.pi, E)),
+        N, B, R, eps, n_multiple=tb)
+    panel = build_panel_table(table, tb=tb, compressed=True, chunk=2)
+    meta = np.asarray(panel.meta)
+    assert panel.n_panels % 2 == 0
+    assert panel.n_panels > len(pairs)        # the appended zero group
+
+    C, O = 4, 3
+    x = jnp.asarray(np.stack([rng.normal(size=(N, C)),
+                              rng.normal(size=(N, C))], -1), jnp.float32)
+    zon = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    def loss(x, use_panel):
+        y = (field_conv_banded(x, panel, zon, sph, ph, 1) if use_panel
+             else field_conv(x, table, zon, sph, ph, 1))
+        return jnp.sum(y * y), y
+
+    (l1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(x, False)
+    (l2, y2), g2 = jax.value_and_grad(loss, has_aux=True)(x, True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-3, atol=1e-4)

@@ -49,7 +49,9 @@ def _setup(rng, task, bw=7, n_classes=5, n_vertices=96, **cfg_kw):
 
 
 @pytest.mark.parametrize("task,bw", [
-    pytest.param("classification", 7, marks=pytest.mark.slow),
+    # classification/bw=7 stays in the DEFAULT suite: the one cheap
+    # full-model N-device == 1-device parity case (~25 s); the rest are slow
+    pytest.param("classification", 7),
     # ^ nh=1: nb_local=4 > 2nh -> overlap halo path
     pytest.param("classification", 14, marks=pytest.mark.slow),
     # ^ nh=2: nb_local=4 = 2nh -> serial halo path
