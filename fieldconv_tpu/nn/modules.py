@@ -237,6 +237,11 @@ class ECHO(lnn.Module):
     axis_name: Optional[str] = None
 
     def __call__(self, x, table: EdgeTable, comp=None):
+        from ..precomp.banded import PanelTable
+
+        if isinstance(comp, PanelTable) and self.axis_name is None:
+            # 100k-capable panel-CSR path (ops/echo.py::echo_panel)
+            return echo_ops.echo_panel(x, comp, self.n_bins)
         use_banded = (comp is not None) if self.impl == "auto" \
             else self.impl == "banded"
         if self.axis_name is not None:

@@ -186,6 +186,114 @@ def echo(x, table: EdgeTable, n_bins: int, d_chunk: int = 128,
     return soft_abs(hist.reshape(N, C, dS, 2))
 
 
+def echo_panel(x, panel, n_bins: int, panel_chunk: int = 8, x_src=None,
+               n_out=None):
+    """ECHO descriptors over the panel-CSR layout (PanelTable) — the
+    100k-capable path.
+
+    Semantically identical to `echo` (reference nn/echo.py:65-148) but the
+    work is organised per (target-block, source-block) PANEL: a lax.scan
+    walks panel chunks, gathers each chunk's source blocks, computes the
+    separable one-hot splat for the (TB_t, TB_s, C) votes of those panels,
+    folds w×w → dS, and accumulates into a per-target-block histogram
+    carry via index-add over the chunk's target-block ids.  Cost scales
+    with the ACTUAL panel count; the backward's scatter is over ~P panel
+    block-indices, not E edges, and the carry/intermediates stay bounded
+    by panel_chunk — the dense band window this replaces is O(N^1.5)
+    memory (docs/KERNEL_NOTES.md).
+
+    Requires a COMPRESSED PanelTable (planes r·sentinel, e^{iθ}, wxp —
+    ECHO needs the log map, which the dense R+2K factorisation has already
+    folded away).  Empty slots carry wxp = 0, so their votes vanish even
+    though the R_SENTINEL radius lands in a clipped corner bin (same
+    mechanism as echo_banded).
+
+    x: (N_out, C, 2) target rows; x_src optional global source rows for
+    the graph-parallel path (default x).  Returns (N_out, C, dS).
+    """
+    from ..precomp.banded import PanelTable, R_SENTINEL
+
+    if isinstance(panel, PanelTable):
+        if not panel.compressed:
+            raise ValueError("echo_panel needs a compressed PanelTable "
+                             "(build_panel_table(compressed=True))")
+        sten, meta, TB = panel.sten, panel.meta, panel.tb
+    else:  # (sten, meta, tb) triple — graph-parallel path
+        sten, meta, TB = panel
+    x = jnp.asarray(x)
+    N, C = x.shape[0], x.shape[1]
+    n_out = N if n_out is None else n_out
+    nb_out = n_out // TB
+    x_src = x if x_src is None else jnp.asarray(x_src)
+    nb_src = x_src.shape[0] // TB
+    P = sten.shape[0]
+    nbins = n_bins
+    w = 2 * nbins + 1
+    dmap_np, dS = disk_map(nbins)
+    fold_np = np.zeros((w * w, dS), dtype=np.float32)
+    fold_np[np.arange(w * w), dmap_np] = 1.0
+    fold = jnp.asarray(fold_np)
+
+    xb = x_src.reshape(nb_src, TB, C, 2)
+    ub = cconj(soft_unit(xb))                   # (nb, TB, C, 2)
+    nzb = jnp.logical_not(is_origin(xb))        # (nb, TB, C)
+
+    pc = min(panel_chunk, P)
+    P_pad = -(-P // pc) * pc
+    if P_pad != P:
+        pad = P_pad - P
+        pad_sten = jnp.zeros((pad,) + sten.shape[1:], sten.dtype)
+        pad_sten = pad_sten.at[:, 0].set(R_SENTINEL)
+        sten = jnp.concatenate([sten, pad_sten])
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((meta.shape[0], pad), meta.dtype)], axis=1)
+
+    def chunk_hist(carry, args):
+        sten_c, tgt_c, src_c = args
+        r = sten_c[:, 0]                                     # (pc, TB, TB)
+        ln_c = jnp.stack([r * sten_c[:, 1], r * sten_c[:, 2]], -1)
+        wxp_c = jnp.stack([sten_c[:, 3], sten_c[:, 4]], -1)  # (pc,TB,TB,2)
+        xs = xb[src_c]                                       # (pc,TB_s,C,2)
+        us = ub[src_c]
+        nz = nzb[src_c]
+
+        aligned = cmul(ln_c[:, :, :, None, :], us[:, None])  # (pc,TB,TB,C,2)
+        p = aligned * nbins
+        pC = jnp.clip(jnp.ceil(p), -nbins, nbins).astype(jnp.int32)
+        pF = jnp.clip(jnp.floor(p), -nbins, nbins).astype(jnp.int32)
+        pCf, pFf = pC.astype(p.dtype), pF.astype(p.dtype)
+        w0 = (pCf[..., 0] - p[..., 0]) * (pCf[..., 1] - p[..., 1])
+        w1 = (p[..., 0] - pFf[..., 0]) * (p[..., 1] - pFf[..., 1])
+        w2 = (p[..., 0] - pFf[..., 0]) * (pCf[..., 1] - p[..., 1])
+        w3 = (pCf[..., 0] - p[..., 0]) * (p[..., 1] - pFf[..., 1])
+
+        votes = cmul(xs[:, None], wxp_c[..., None, :])       # (pc,TB,TB,C,2)
+        votes = jnp.where(nz[:, None, ..., None], votes, 0.0)
+
+        iw = jnp.arange(w, dtype=jnp.int32)
+        A_F = (pF[..., 0:1] + nbins == iw).astype(x.dtype)   # (pc,TB,TB,C,w)
+        A_C = (pC[..., 0:1] + nbins == iw).astype(x.dtype)
+        B_F = (pF[..., 1:2] + nbins == iw).astype(x.dtype)
+        B_C = (pC[..., 1:2] + nbins == iw).astype(x.dtype)
+        BF0 = w0[..., None] * B_F + w3[..., None] * B_C
+        BC1 = w2[..., None] * B_F + w1[..., None] * B_C
+        grid = jnp.einsum("ztscp,ztsca,ztscb->ztcpab", votes, A_F, BF0,
+                          preferred_element_type=jnp.float32)
+        grid = grid + jnp.einsum("ztscp,ztsca,ztscb->ztcpab", votes, A_C,
+                                 BC1, preferred_element_type=jnp.float32)
+        hist = jnp.einsum("ztcpu,us->ztcps",
+                          grid.reshape(pc, TB, C, 2, w * w), fold,
+                          preferred_element_type=jnp.float32)
+        return carry.at[tgt_c].add(hist), None
+
+    nchunks = P_pad // pc
+    split = lambda a: a.reshape(nchunks, pc, *a.shape[1:])
+    init = jnp.zeros((nb_out, TB, C, 2, dS), dtype=x.dtype)
+    hist, _ = jax.lax.scan(
+        chunk_hist, init, (split(sten), split(meta[0]), split(meta[1])))
+    return soft_abs(jnp.moveaxis(hist.reshape(n_out, C, 2, dS), 2, 3))
+
+
 def echo_banded(x, comp, n_bins: int, block_chunk: int = 1, halo=None):
     """Gather-free ECHO over the banded slot layout (CompressedBandedTable).
 

@@ -184,12 +184,123 @@ def trans_field_banded_contrib(x, comp, lift_cols=(0, 1), halo=None):
     return ang.reshape(N, C, R, 2), mag.reshape(N, C, R)
 
 
+def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
+                              panel_chunk: int = 256, x_src=None,
+                              tgt_blocks=None):
+    """TransField aggregation over the panel-CSR layout (PanelTable) — the
+    100k-capable lift.
+
+    Same math as :func:`trans_field_banded_contrib` (reference
+    nn/trans_field.py:104-110) but organised per (target-block,
+    source-block) PANEL: each panel contributes a (TB, C, R, 2) partial from
+    one gathered source block, partials are summed per target block with a
+    sorted segment-sum.  The backward therefore contains one scatter-add
+    over ~P panel block-indices (P ≈ 17k at 163k vertices) instead of one
+    over E ≈ 10M edges — the dense band layout this replaces is O(N^1.5)
+    memory and cannot exist at the north-star scale
+    (docs/KERNEL_NOTES.md).
+
+    The magnitude stencil uses rsten·|wxp| directly (identical to the
+    banded path; differs from softAbs(rsten⊗fwxp) only below EPS=1e-7).
+
+    x: (N_out, C) target-row scalars (N_out == panel.n_pad single-device).
+    x_src: optional (N_src, C) global source rows for graph-parallel use
+      (parallel/panel_gp.py) — panels' src blocks index into x_src; default
+      x itself.
+    tgt_blocks / panel override hooks likewise serve the gp path: pass a
+      meta whose tgt row is LOCAL to this shard.
+    Returns contribAng (N_out, C, R, 2), contribMag (N_out, C, R).
+    """
+    from ..ops.pallas.band_conv import _hats_from_r
+    from ..precomp.banded import PanelTable
+
+    if isinstance(panel, PanelTable):
+        sten, meta = panel.sten, panel.meta
+        R, B, TB = panel.n_rings, panel.band_limit, panel.tb
+        compressed = panel.compressed
+    else:  # (sten, meta, tb, n_rings, band_limit, compressed) tuple (gp path)
+        sten, meta, TB, R, B, compressed = panel
+    x = jnp.asarray(x)
+    N, C = x.shape
+    nb_out = N // TB
+    x_src = x if x_src is None else jnp.asarray(x_src)
+    nb_src = x_src.shape[0] // TB
+    P = sten.shape[0]
+    k0, k1 = lift_cols
+    K = 2 * B + 1
+
+    xb_src = x_src.reshape(nb_src, TB, C)
+
+    # pad the panel axis to a multiple of panel_chunk with zero panels
+    # (tgt 0, src 0: zero stencil -> zero partial)
+    pc = min(panel_chunk, P)
+    P_pad = -(-P // pc) * pc
+    if P_pad != P:
+        pad = P_pad - P
+        pad_sten = jnp.zeros((pad,) + sten.shape[1:], sten.dtype)
+        if compressed:
+            from ..precomp.banded import R_SENTINEL
+            pad_sten = pad_sten.at[:, 0].set(R_SENTINEL)
+        sten = jnp.concatenate([sten, pad_sten])
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((meta.shape[0], pad), meta.dtype)], axis=1)
+
+    def chunk_partials(args):
+        sten_c, src_c = args                     # (pc, planes, TB, TB), (pc,)
+        if compressed:
+            rv = sten_c[:, 0]                            # (pc, TB, TB)
+            hats = _hats_from_r(rv, R)                   # (R, pc, TB, TB)
+            pr, pi = sten_c[:, 1], sten_c[:, 2]
+            wr, wi = sten_c[:, 3], sten_c[:, 4]
+            e1r, e1i = _phasor_power(pr, pi, k1 - B)
+            f1 = jnp.stack([wr * e1r - wi * e1i,
+                            wr * e1i + wi * e1r], -1)    # (pc, TB, TB, 2)
+            wmag = jnp.sqrt(wr * wr + wi * wi)
+        else:
+            hats = jnp.moveaxis(sten_c[:, :R], 1, 0)     # (R, pc, TB, TB)
+            fw = sten_c[:, R:].reshape(sten_c.shape[0], K, 2, TB, TB)
+            f1 = jnp.moveaxis(fw[:, k1], 1, -1)          # (pc, TB, TB, 2)
+            f0 = fw[:, k0]
+            wmag = jnp.sqrt(f0[:, 0] ** 2 + f0[:, 1] ** 2)
+        xs = xb_src[src_c]                               # (pc, TB_s, C)
+        s1 = hats[..., None] * f1[None]                  # (R, pc, TB, TB, 2)
+        part = jnp.einsum("rptsj,psc->ptcrj", s1, xs,
+                          preferred_element_type=jnp.float32)
+        ssum = jnp.transpose(jnp.sum(s1, axis=3),
+                             (1, 2, 0, 3))               # (pc, TB, R, 2)
+        sm = hats * wmag[None]                           # (R, pc, TB, TB)
+        magp = jnp.einsum("rpts,psc->ptcr", sm, xs,
+                          preferred_element_type=jnp.float32)
+        return part, ssum, magp
+
+    nchunks = P_pad // pc
+    split = lambda a: a.reshape(nchunks, pc, *a.shape[1:])
+    part, ssum, magp = jax.lax.map(
+        chunk_partials, (split(sten), split(meta[1])))
+    part = part.reshape(P_pad, TB, C, R, 2)
+    ssum = ssum.reshape(P_pad, TB, R, 2)
+    magp = magp.reshape(P_pad, TB, C, R)
+
+    seg = jax.ops.segment_sum(part, meta[0], num_segments=nb_out)
+    ssum_seg = jax.ops.segment_sum(ssum, meta[0], num_segments=nb_out)
+    mag = jax.ops.segment_sum(magp, meta[0], num_segments=nb_out)
+
+    xt = x.reshape(nb_out, TB, C)
+    ang = -(seg - xt[..., None, None] * ssum_seg[:, :, None])
+    return ang.reshape(N, C, R, 2), mag.reshape(N, C, R)
+
+
 def trans_field(x, table, zonal_ang, zonal_mag, phase, ftype, lift_cols=(0, 1),
                 d_chunk: int = 128, comp=None, halo=None):
-    """TransField lift.  When ``comp`` (a CompressedBandedTable) is given the
-    aggregation runs gather-free over the banded layout; otherwise the
+    """TransField lift.  When ``comp`` is given the aggregation runs
+    gather-free: a CompressedBandedTable routes to the banded block-window
+    path, a PanelTable to the panel-CSR path (100k-capable); otherwise the
     padded-CSR gather path is used."""
-    if comp is not None:
+    from ..precomp.banded import PanelTable
+
+    if isinstance(comp, PanelTable):
+        ang, mag = trans_field_panel_contrib(x, comp, lift_cols=lift_cols)
+    elif comp is not None:
         ang, mag = trans_field_banded_contrib(x, comp, lift_cols=lift_cols,
                                               halo=halo)
     else:

@@ -519,6 +519,89 @@ def test_panel_matches_gather(rng, compressed, chunk):
                                    rtol=1e-3, atol=1e-4)
 
 
+def _panel_setup(rng, compressed=True, B=1, R=3, tb=8, n_vertices=64,
+                 chunk=1):
+    from fieldconv_tpu.precomp.banded import (
+        build_panel_table, kd_order, reorder_precompute)
+
+    g = random_graph(rng, n_vertices=n_vertices, avg_deg=5, B=B, R=R,
+                     epsilon=0.5)
+    pos = rng.normal(size=(g["n_vertices"], 3))
+    perm = kd_order(pos, tb=tb)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w, g["xp"],
+                             g["n_vertices"], g["B"], g["R"], g["epsilon"],
+                             n_multiple=tb)
+    panel = build_panel_table(table, tb=tb, compressed=compressed,
+                              chunk=chunk)
+    return g, table, panel
+
+
+@pytest.mark.parametrize("compressed,lift_cols", [
+    (True, "correct"), (False, "correct"), (True, "quirk")])
+def test_trans_field_panel_matches_gather(rng, compressed, lift_cols):
+    """Panel-CSR TransField aggregation (the 100k-capable lift) == the XLA
+    gather path: values and grads, compressed + dense panels, both the
+    correct (0,+1)-frequency slice and the classification-notebook quirk
+    slice (SURVEY.md §6c.1)."""
+    from fieldconv_tpu.ops.trans_field import (
+        trans_field_contrib, trans_field_panel_contrib)
+
+    B = 1
+    g, table, panel = _panel_setup(rng, compressed=compressed, B=B)
+    cols = (B, B + 1) if lift_cols == "correct" else (0, 1)
+    N, C = table.n_pad, 3
+    x = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+
+    def f_ref(x):
+        ang, mag = trans_field_contrib(x, table, lift_cols=cols)
+        return jnp.sum(jnp.sin(ang)) + jnp.sum(jnp.cos(mag)), (ang, mag)
+
+    def f_pan(x):
+        ang, mag = trans_field_panel_contrib(x, panel, lift_cols=cols,
+                                             panel_chunk=5)
+        return jnp.sum(jnp.sin(ang)) + jnp.sum(jnp.cos(mag)), (ang, mag)
+
+    (l1, (a1, m1)), g1 = jax.value_and_grad(f_ref, has_aux=True)(x)
+    (l2, (a2, m2)), g2 = jax.value_and_grad(f_pan, has_aux=True)(x)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_bins", [2, 3])
+def test_echo_panel_matches_xla(rng, n_bins):
+    """Panel-CSR ECHO (the 100k-capable descriptor path) == the XLA one-hot
+    path: values and grads, including origin features whose votes vanish."""
+    from fieldconv_tpu.ops.echo import echo, echo_panel
+
+    g, table, panel = _panel_setup(rng, compressed=True, B=1, R=3)
+    N, C = table.n_pad, 5
+    z = random_field(rng, N, C)
+    x = np.stack([z.real, z.imag], -1).astype(np.float32)
+    x[rng.random(N) < 0.2] = 0.0
+    x = jnp.asarray(x)
+
+    want = echo(x, table, n_bins, d_chunk=1024)
+    got = echo_panel(x, panel, n_bins, panel_chunk=5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=2e-5)
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(echo(x, table, n_bins, d_chunk=1024)))
+
+    def loss_pn(x):
+        return jnp.sum(jnp.sin(echo_panel(x, panel, n_bins, panel_chunk=5)))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_pn = jax.grad(loss_pn)(x)
+    np.testing.assert_allclose(np.asarray(g_pn), np.asarray(g_ref),
+                               atol=3e-5, rtol=2e-5)
+
+
 def test_panel_chunk_src_pad_without_tgt_pad(rng):
     """chunk>1 on a graph whose TARGET group counts already divide `chunk`
     but whose SOURCE group counts do not: the builder must append a zero

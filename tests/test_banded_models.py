@@ -73,6 +73,44 @@ def test_segmentation_comp_echo_matches(rng):
                                atol=5e-5, rtol=5e-5)
 
 
+def test_correspondence_panel_full_model_matches_xla(rng):
+    """The full correspondence-style net (Lift + 8×ResNet + 4 meta-res +
+    ECHOBlock + head) through the panel-CSR layout for EVERY op — convs
+    (_band_panel), lift (trans_field_panel_contrib), ECHO (echo_panel) —
+    == the XLA gather path: outputs and parameter grads.  This is the
+    layout stack that runs the 100k-vertex config (VERDICT r3 #1)."""
+    from test_band_conv import _panel_setup
+    from fieldconv_tpu.models import CorrespondenceNet
+
+    g, table, panel = _panel_setup(rng, compressed=True, B=1, R=3,
+                                   n_vertices=96)
+    pos = np.asarray(rng.normal(size=(table.n_pad, 3)), np.float32)
+    labels = jnp.asarray(rng.integers(0, 7, table.n_pad), jnp.int32)
+
+    net = CorrespondenceNet(n_classes=7, nf=6, n_des=4, n_bins=2,
+                            band_limit=1, n_rings=3, dropout=0.0)
+    params = net.init(jax.random.key(0), pos, table)
+
+    def loss(params, use_panel):
+        if use_panel:
+            logits = net.apply(params, pos, table, panel, panel)
+        else:
+            logits = net.apply(params, pos, table)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, labels[:, None], 1))
+
+    (l1, g1) = jax.value_and_grad(loss)(params, False)
+    (l2, g2) = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, leaf in flat1:
+        np.testing.assert_allclose(
+            np.asarray(flat2[path]), np.asarray(leaf),
+            rtol=2e-3, atol=2e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 @pytest.mark.slow
 def test_mixed_nh_batch_comp_parity(rng):
     """Two meshes with different bandwidths stacked into one batch: the
