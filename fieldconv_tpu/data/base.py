@@ -98,6 +98,9 @@ def process_mesh(
     rcm: bool = True,
     sample_idx: Optional[np.ndarray] = None,
     post_axes: bool = False,
+    order: str = "auto",
+    kd_tb: int = 128,
+    kd_threshold: int = 20000,
 ) -> MeshRecord:
     """Full offline precompute for one labelled mesh.
 
@@ -109,6 +112,13 @@ def process_mesh(
     (segmentation.ipynb cell 6: NormalizeArea → SupportGraph →
     computeLogXPort → NormalizeAxes) — the permuted/rescaled pos feed the
     lift, the stencils keep the pre-permutation geometry.
+
+    order: vertex ordering of the stored record — "rcm" (bandwidth-
+    minimising, the dense-band layout's requirement), "kd" (k-d tree
+    leaves of kd_tb points: block-LOCAL order, what the panel-CSR layout
+    wants — panels/block mean 13 vs RCM 25 at 163k vertices), or "auto"
+    (kd above kd_threshold samples, where only the panel layout fits;
+    rcm below).  rcm=False skips reordering entirely (legacy flag).
     """
     from ..precomp.pipeline import normalize_area, normalize_axes
     from ..geometry.sampling import farthest_point_sampling, radius_graph
@@ -137,7 +147,14 @@ def process_mesh(
     w = pre.weights
     perm = np.arange(len(sample_idx))
     if rcm and len(supp_edges):
-        perm = rcm_order(supp_edges, len(sample_idx))
+        if order == "auto":
+            order = "kd" if len(sample_idx) > kd_threshold else "rcm"
+        if order == "kd":
+            from ..precomp.banded import kd_order
+
+            perm = kd_order(pos, tb=kd_tb)
+        else:
+            perm = rcm_order(supp_edges, len(sample_idx))
         if lab.ndim > 0:
             supp_edges, pos, w, lab = reorder_precompute(
                 perm, supp_edges, pos, w, lab

@@ -28,7 +28,14 @@ class CorrespondenceNet(lnn.Module):
     d_chunk: int = 128
     lift_impl: str = "auto"
     echo_impl: str = "auto"
+    echo_panel_chunk: int = 8     # panels per scan step on the panel path
     axis_name: Optional[str] = None
+    # return the 256-dim pre-head features instead of applying lin2: the
+    # big-vocab pattern for the 100k config, where (N, 4999) logits are
+    # 3.3 GB — the caller applies lin2 row-chunked with rematerialisation
+    # (scripts/scale_100k.py).  Init with return_features=False so lin2's
+    # params exist, then apply through a clone(return_features=True).
+    return_features: bool = False
 
     @lnn.compact
     def __call__(self, pos, table: EdgeTable, banded=None, comp=None, *,
@@ -59,8 +66,11 @@ class CorrespondenceNet(lnn.Module):
 
         x = ECHOBlock(
             16, nf, n_des=self.n_des, n_bins=self.n_bins,
-            echo_impl=self.echo_impl, name="echo", **kw
+            echo_impl=self.echo_impl,
+            echo_panel_chunk=self.echo_panel_chunk, name="echo", **kw
         )(x, table, banded, comp)
         x = lnn.relu(Linear(nf, 256, name="lin1")(x))
         x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)
+        if self.return_features:
+            return x
         return Linear(256, self.n_classes, name="lin2")(x)

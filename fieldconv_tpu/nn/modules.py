@@ -56,6 +56,15 @@ class FieldConv(lnn.Module):
         if self.axis_name is not None:
             if banded is None:
                 raise ValueError("graph-parallel FieldConv requires a banded table")
+            from ..precomp.banded import PanelShards
+
+            if isinstance(banded, PanelShards):
+                # panel-sharded multi-chip path (parallel/panel_gp.py)
+                from ..parallel.panel_gp import field_conv_panel_gp
+
+                return field_conv_panel_gp(
+                    x, banded, zonal, spherical, phase, self.ftype,
+                    self.axis_name)
             from ..parallel.halo import halo_field_conv
 
             gk = band_ops.rotated_source_tensor_kmajor(x, self.band_limit)
@@ -103,6 +112,15 @@ class TransField(lnn.Module):
             if comp is None:
                 raise ValueError("graph-parallel TransField requires a "
                                  "CompressedBandedTable")
+            from ..precomp.banded import PanelShards
+
+            if isinstance(comp, PanelShards):
+                from ..parallel.panel_gp import trans_field_panel_gp
+
+                ang, mag = trans_field_panel_gp(x, comp, lift_cols,
+                                                self.axis_name)
+                return tf_ops.trans_field_weight(
+                    ang, mag, zonal_ang, zonal_mag, phase, self.ftype)
             from ..parallel.halo import _exchange_halos
 
             halo = _exchange_halos(x, comp.nh * comp.tb, self.axis_name)
@@ -234,6 +252,7 @@ class ECHO(lnn.Module):
     # chunk only when the (N, D, C, w) intermediates would not fit HBM)
     d_chunk: int = 128
     impl: str = "auto"
+    panel_chunk: int = 8          # panels per scan step on the panel path
     axis_name: Optional[str] = None
 
     def __call__(self, x, table: EdgeTable, comp=None):
@@ -241,13 +260,21 @@ class ECHO(lnn.Module):
 
         if isinstance(comp, PanelTable) and self.axis_name is None:
             # 100k-capable panel-CSR path (ops/echo.py::echo_panel)
-            return echo_ops.echo_panel(x, comp, self.n_bins)
+            return echo_ops.echo_panel(x, comp, self.n_bins,
+                                       panel_chunk=self.panel_chunk)
         use_banded = (comp is not None) if self.impl == "auto" \
             else self.impl == "banded"
         if self.axis_name is not None:
             if comp is None:
                 raise ValueError("graph-parallel ECHO requires a "
                                  "CompressedBandedTable")
+            from ..precomp.banded import PanelShards
+
+            if isinstance(comp, PanelShards):
+                from ..parallel.panel_gp import echo_panel_gp
+
+                return echo_panel_gp(x, comp, self.n_bins, self.axis_name,
+                                     panel_chunk=self.panel_chunk)
             from ..parallel.halo import _exchange_halos
 
             halo = _exchange_halos(x, comp.nh * comp.tb, self.axis_name)
@@ -292,6 +319,7 @@ class ECHOBlock(lnn.Module):
     ftype: int = 1
     d_chunk: int = 128
     echo_impl: str = "auto"
+    echo_panel_chunk: int = 8
     axis_name: Optional[str] = None
 
     @lnn.compact
@@ -309,8 +337,8 @@ class ECHOBlock(lnn.Module):
         h = TangentNonLin(n_des, param_width=self.in_channels,
                           name="nonlin")(h)
         h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk,
-                 impl=self.echo_impl, axis_name=self.axis_name,
-                 name="echo")(h, table, comp)
+                 impl=self.echo_impl, panel_chunk=self.echo_panel_chunk,
+                 axis_name=self.axis_name, name="echo")(h, table, comp)
         h = h.reshape(h.shape[0], -1)
         mid = n_des * echo_ops.hist_dim(self.n_bins)
         h = lnn.relu(Linear(mid, 128, name="lin1")(h))

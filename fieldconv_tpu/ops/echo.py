@@ -289,8 +289,13 @@ def echo_panel(x, panel, n_bins: int, panel_chunk: int = 8, x_src=None,
     nchunks = P_pad // pc
     split = lambda a: a.reshape(nchunks, pc, *a.shape[1:])
     init = jnp.zeros((nb_out, TB, C, 2, dS), dtype=x.dtype)
+    # remat the chunk body: reverse-mode scan would otherwise stack each
+    # step's (pc, TB, TB, C, w) one-hot/vote residuals over all ~P/pc
+    # steps — terabytes at 163k vertices.  With remat the residuals are
+    # the scan inputs themselves (the panel stencil, already in HBM).
     hist, _ = jax.lax.scan(
-        chunk_hist, init, (split(sten), split(meta[0]), split(meta[1])))
+        jax.checkpoint(chunk_hist), init,
+        (split(sten), split(meta[0]), split(meta[1])))
     return soft_abs(jnp.moveaxis(hist.reshape(n_out, C, 2, dS), 2, 3))
 
 

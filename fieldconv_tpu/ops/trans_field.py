@@ -275,8 +275,12 @@ def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
 
     nchunks = P_pad // pc
     split = lambda a: a.reshape(nchunks, pc, *a.shape[1:])
+    # remat the chunk body: without it, reverse-mode stacks each step's
+    # einsum residuals ((R, pc, TB, TB, 2) and friends) over all chunks —
+    # multi-GB at 163k vertices.  Recomputing from the stencil chunk (an
+    # already-resident scan input) costs one extra VPU pass.
     part, ssum, magp = jax.lax.map(
-        chunk_partials, (split(sten), split(meta[1])))
+        jax.checkpoint(chunk_partials), (split(sten), split(meta[1])))
     part = part.reshape(P_pad, TB, C, R, 2)
     ssum = ssum.reshape(P_pad, TB, R, 2)
     magp = magp.reshape(P_pad, TB, C, R)

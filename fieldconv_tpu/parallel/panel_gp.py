@@ -20,8 +20,12 @@ when it does not.  The reference has no distributed code at all
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..precomp.banded import PanelShards
 
@@ -61,3 +65,199 @@ def local_shard(shards: PanelShards) -> PanelShards:
         band_limit=shards.band_limit, n_rings=shards.n_rings,
         compressed=shards.compressed,
     )
+
+
+def trans_field_panel_gp(x, shard: PanelShards, lift_cols, axis_name: str,
+                         panel_chunk: int = 256):
+    """Shard-local TransField aggregation over panel shards: all_gather the
+    (small) scalar features over the graph axis, aggregate the shard's
+    panels with GLOBAL source blocks and LOCAL target blocks.  The gather's
+    AD transpose psum_scatters each shard's dX onto the owner rows.
+
+    x: (N_local, C).  Returns (contribAng, contribMag) over local rows.
+    """
+    from ..ops.trans_field import trans_field_panel_contrib
+
+    x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    return trans_field_panel_contrib(
+        x, (shard.sten, shard.meta, shard.tb, shard.n_rings,
+            shard.band_limit, shard.compressed),
+        lift_cols=lift_cols, panel_chunk=panel_chunk, x_src=x_full)
+
+
+def echo_panel_gp(x, shard: PanelShards, n_bins: int, axis_name: str,
+                  panel_chunk: int = 8):
+    """Shard-local ECHO over panel shards: all_gather the tangent features
+    (N × C × 2 — small next to the panel stencil) over the graph axis and
+    splat the shard's panels into local target-block histograms.
+
+    x: (N_local, C, 2).  Returns (N_local, C, dS).
+    """
+    from ..ops.echo import echo_panel
+
+    x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    return echo_panel(x, (shard.sten, shard.meta, shard.tb), n_bins,
+                      panel_chunk=panel_chunk, x_src=x_full,
+                      n_out=x.shape[0])
+
+
+# --- full-model panel-gp trainer -------------------------------------------
+#
+# The multi-chip trainer for the 100k config: ONE mesh, its multi-GB panel
+# stencil sharded by target-block ranges over a ('graph',) device mesh.
+# Models are built with axis_name='graph'; every op routes to the panel-gp
+# paths above via the PanelShards dispatch in nn/modules.py.  (Compose an
+# outer data axis by running independent processes or vmapping batches of
+# meshes — at 100k+ vertices one mesh per step is the realistic regime,
+# DataLoader(batch_size=1) in the reference.)
+
+
+@dataclasses.dataclass
+class PanelGPBatch:
+    """One mesh flattened for shard_map: arrays + static meta.
+
+    pos (N, 3) / vmask (N,) / labels () or (N,) shard their vertex axis
+    over 'graph'; the stacked PanelShards arrays shard their leading shard
+    axis.  n_valid is the GLOBAL valid-vertex count.
+    """
+
+    pos: jnp.ndarray
+    vmask: jnp.ndarray
+    labels: jnp.ndarray
+    sten: jnp.ndarray
+    meta: jnp.ndarray
+    meta_s: jnp.ndarray
+    coverage: jnp.ndarray
+    tb: int
+    n_pad: int
+    n_local: int
+    band_limit: int
+    n_rings: int
+    compressed: bool
+    n_valid: int
+
+
+jax.tree_util.register_dataclass(
+    PanelGPBatch,
+    data_fields=["pos", "vmask", "labels", "sten", "meta", "meta_s",
+                 "coverage"],
+    meta_fields=["tb", "n_pad", "n_local", "band_limit", "n_rings",
+                 "compressed", "n_valid"],
+)
+
+
+def panel_gp_batch(pos, table, labels, shards: PanelShards) -> PanelGPBatch:
+    """Assemble a PanelGPBatch from one mesh's (pos, EdgeTable, labels) and
+    its shard_panel_table output."""
+    return PanelGPBatch(
+        pos=jnp.asarray(pos, jnp.float32), vmask=jnp.asarray(table.vmask),
+        labels=jnp.asarray(labels),
+        sten=shards.sten, meta=shards.meta, meta_s=shards.meta_s,
+        coverage=shards.coverage,
+        tb=shards.tb, n_pad=shards.n_pad, n_local=shards.n_local,
+        band_limit=shards.band_limit, n_rings=shards.n_rings,
+        compressed=shards.compressed, n_valid=table.n_valid,
+    )
+
+
+def place_panel_gp_batch(b: PanelGPBatch, mesh: Mesh) -> PanelGPBatch:
+    """Device-place: vertex rows and panel shards over the 'graph' axis."""
+    g = P("graph")
+    put = jax.device_put
+    ns = lambda spec: jax.sharding.NamedSharding(mesh, spec)
+    return PanelGPBatch(
+        pos=put(b.pos, ns(g)), vmask=put(b.vmask, ns(g)),
+        labels=put(b.labels, ns(g if b.labels.ndim else P())),
+        sten=put(b.sten, ns(g)), meta=put(b.meta, ns(g)),
+        meta_s=put(b.meta_s, ns(g)), coverage=put(b.coverage, ns(g)),
+        tb=b.tb, n_pad=b.n_pad, n_local=b.n_local,
+        band_limit=b.band_limit, n_rings=b.n_rings,
+        compressed=b.compressed, n_valid=b.n_valid,
+    )
+
+
+def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
+                                 meta: PanelGPBatch):
+    """(params, key, batch) -> (loss, grads) for the full model over panel
+    shards.  ``net`` must be built with axis_name='graph'.  Supports the
+    classification / segmentation / correspondence losses (the twin path
+    composes the same way via two forwards)."""
+    from ..train.trainer import random_rotate_scale
+    from .gp import VertexMeta, _mask_to_shard0
+
+    task = config.task
+
+    def loss_fn(params, key, pos, vmask, labels, sten, m, m_s, cov):
+        sh = local_shard(PanelShards(
+            sten=sten, meta=m, meta_s=m_s, coverage=cov,
+            tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
+            band_limit=meta.band_limit, n_rings=meta.n_rings,
+            compressed=meta.compressed))
+        vm = VertexMeta(vmask=vmask, n_valid=meta.n_valid,
+                        band_limit=meta.band_limit, n_rings=meta.n_rings)
+        ka, kdrop = jax.random.split(key)
+        # identical key on every shard -> identical per-mesh rotation
+        pos = random_rotate_scale(ka, pos[None], config.random_rotate_deg,
+                                  config.random_scale)[0]
+        if task == "correspondence":
+            kdrop = jax.random.fold_in(kdrop, jax.lax.axis_index("graph"))
+            out = net.apply(params, pos, vm, sh, sh, deterministic=False,
+                            rngs={"dropout": kdrop})
+        else:
+            out = net.apply(params, pos, vm, sh, sh)
+
+        if task == "classification":
+            logp = jax.nn.log_softmax(out[0], axis=-1)
+            ce = -logp[labels]                      # replicated on graph
+            return _mask_to_shard0(ce, "graph")
+
+        valid = labels >= 0
+        labels_safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(out, axis=-1)
+        if task == "segmentation" and config.smoothing > 0:
+            confidence = 1.0 - config.smoothing
+            off = config.smoothing / (n_classes - 1)
+            onehot = jax.nn.one_hot(labels_safe, n_classes)
+            true_dist = onehot * (confidence - off) + off
+            per_row = jnp.sum(-true_dist * logp, axis=-1)
+        else:
+            per_row = -jnp.take_along_axis(
+                logp, labels_safe[:, None], axis=-1)[:, 0]
+        per_row = jnp.where(valid, per_row, 0.0)
+        total = jax.lax.psum(jnp.sum(per_row), "graph")
+        count = jax.lax.psum(jnp.sum(valid), "graph")
+        return total / jnp.maximum(count, 1)
+
+    g = P("graph")
+    label_spec = g if meta.labels.ndim else P()
+    smapped = jax.shard_map(
+        loss_fn, mesh=mesh,
+        in_specs=(P(), P(), g, g, label_spec, g, g, g, g),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def value_and_grad(params, key, b: PanelGPBatch):
+        def wrapped(p):
+            return smapped(p, key, b.pos, b.vmask, b.labels, b.sten,
+                           b.meta, b.meta_s, b.coverage)
+
+        return jax.value_and_grad(wrapped)(params)
+
+    return value_and_grad
+
+
+def make_panel_gp_train_step(net, config, n_classes: int, opt, mesh: Mesh,
+                             meta: PanelGPBatch):
+    """Jitted full-model train step over panel shards (the 100k-config
+    multi-chip trainer)."""
+    from ..train.trainer import TrainState, _guarded_update
+
+    vag = make_panel_gp_value_and_grad(net, config, n_classes, mesh, meta)
+
+    @jax.jit
+    def train_step(state: TrainState, key, b: PanelGPBatch):
+        l, grads = vag(state.params, key, b)
+        return _guarded_update(state, l, grads, opt), {"loss": l}
+
+    return train_step

@@ -55,6 +55,14 @@ class ExperimentConfig:
     # gather's scatter-add transpose dominated the lift, KERNEL_NOTES.md) or
     # "gather" (padded-CSR path; also the fallback when banded_tb is unset).
     lift_impl: str = "banded"
+    # Stencil layout for the Pallas paths: "banded" (dense ±nh block window
+    # — fastest when the window fits, O(N^1.5) memory), "panel" (panel-CSR,
+    # memory scales with the actual (tgt,src)-block panel count — the only
+    # layout that exists at 100k+ vertices), or "auto" (panel above
+    # panel_threshold padded vertices, banded below).  The panel layout
+    # routes EVERY op (conv / lift / ECHO) through the panel paths.
+    layout: str = "auto"
+    panel_threshold: int = 20000
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 5
     # metrics readback cadence: device losses are fetched to host in chunks
@@ -75,6 +83,10 @@ class ExperimentConfig:
             raise ValueError(
                 f"lift_impl must be 'gather' or 'banded', got "
                 f"{self.lift_impl!r}")
+        if self.layout not in ("auto", "banded", "panel"):
+            raise ValueError(
+                f"layout must be 'auto'/'banded'/'panel', got "
+                f"{self.layout!r}")
         if self.ftype not in (0, 1, 2):
             raise ValueError(f"ftype must be 0/1/2, got {self.ftype}")
 

@@ -54,10 +54,22 @@ def build_model(config: ExperimentConfig, n_classes: int,
     raise ValueError(config.task)
 
 
+def resolve_layout(config: ExperimentConfig, n_pad: int) -> str:
+    """'banded' or 'panel' per config.layout ('auto': panel above the
+    threshold — the dense band window is O(N^1.5) memory and cannot exist
+    at 100k vertices, docs/KERNEL_NOTES.md)."""
+    if config.layout != "auto":
+        return config.layout
+    return "panel" if n_pad > config.panel_threshold else "banded"
+
+
 def make_batches(records: List[MeshRecord], config: ExperimentConfig,
                  batch_size: int = 1, banded_tb: Optional[int] = None,
                  n_pad=None, d_slots=None):
-    """Group records into same-bucket MeshBatches."""
+    """Group records into same-bucket MeshBatches.
+
+    banded_tb also serves as the panel target-block size when the layout
+    resolves to 'panel' (config.layout / panel_threshold)."""
     echo_task = config.task in ("segmentation", "correspondence")
     if config.echo_impl == "banded" and echo_task and banded_tb is None:
         raise ValueError(
@@ -66,8 +78,10 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
             "target-block size (pass banded_tb=, or use echo_impl='onehot')")
     if n_pad is None or d_slots is None:
         n_pad, d_slots = shared_bucket(records)
+    panel = (banded_tb is not None
+             and resolve_layout(config, n_pad) == "panel")
     # compressed tables feed the banded ECHO path and/or the gather-free lift
-    need_comp = banded_tb is not None and (
+    need_comp = banded_tb is not None and not panel and (
         (config.echo_impl == "banded" and echo_task)
         or config.lift_impl == "banded")
     batches = []
@@ -79,8 +93,11 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
                             n_pad=n_pad, d_slots=d_slots)
             items.append((r.padded_pos(n_pad, center=config.center), table,
                           r.padded_labels(n_pad)))
-        batches.append(stack_batch(items, banded_tb=banded_tb,
-                                   echo_banded=need_comp))
+        if panel:
+            batches.append(stack_batch(items, panel_tb=banded_tb))
+        else:
+            batches.append(stack_batch(items, banded_tb=banded_tb,
+                                       echo_banded=need_comp))
     return batches
 
 

@@ -25,6 +25,7 @@ from ..precomp.banded import (
     CompressedBandedTable,
     build_banded_table,
     build_compressed_banded,
+    build_panel_table,
 )
 from ..precomp.edge_table import EdgeTable
 from .config import ExperimentConfig
@@ -38,6 +39,10 @@ class MeshBatch:
     table: EdgeTable whose data fields carry a leading batch axis
     labels: (B,) int32 for mesh-level tasks or (B, N) int32 (-1 = padding)
     banded: optional batched BandedTable for the Pallas conv path
+    panel: optional LIST of per-mesh compressed PanelTables (panel counts
+      differ per mesh, so they stack as a pytree list; batched_apply
+      unrolls the batch instead of vmapping — the panel layout's regime is
+      100k-vertex meshes at batch 1)
     """
 
     pos: jnp.ndarray
@@ -45,16 +50,19 @@ class MeshBatch:
     labels: jnp.ndarray
     banded: Optional[BandedTable] = None
     comp: Optional[CompressedBandedTable] = None
+    panel: Optional[list] = None
 
 
 jax.tree_util.register_dataclass(
-    MeshBatch, data_fields=["pos", "table", "labels", "banded", "comp"],
+    MeshBatch,
+    data_fields=["pos", "table", "labels", "banded", "comp", "panel"],
     meta_fields=[],
 )
 
 
 def stack_batch(items, banded_tb: Optional[int] = None,
-                echo_banded: bool = False) -> MeshBatch:
+                echo_banded: bool = False,
+                panel_tb: Optional[int] = None) -> MeshBatch:
     """Stack (pos, table, label) triples sharing bucket shapes.
 
     banded_tb: when set, also build + stack BandedTables (Pallas conv path)
@@ -63,8 +71,16 @@ def stack_batch(items, banded_tb: Optional[int] = None,
     banded tables that drive the gather-free ECHO path
     (ops/echo.py::echo_banded) and the gather-free lift
     (ops/trans_field.py::trans_field_banded_contrib).
+    panel_tb: when set, build per-mesh compressed PanelTables instead —
+    the 100k-capable layout routing EVERY op through the panel paths
+    (mutually exclusive with banded_tb; vertex order should be block-local,
+    data.base.process_mesh(order='kd')).
     """
     poss, tables, labels = zip(*items)
+    if panel_tb is not None:
+        if banded_tb is not None:
+            raise ValueError("pass banded_tb or panel_tb, not both")
+        return _stack_batch_panel(poss, tables, labels, panel_tb)
     t0 = tables[0]
     stacked = EdgeTable(
         src=jnp.stack([t.src for t in tables]),
@@ -106,6 +122,31 @@ def stack_batch(items, banded_tb: Optional[int] = None,
         labels=jnp.stack([jnp.asarray(l) for l in labels]),
         banded=banded,
         comp=comp,
+    )
+
+
+def _stack_batch_panel(poss, tables, labels, panel_tb: int) -> MeshBatch:
+    """Panel-layout batch: stacked EdgeTable + a list of PanelTables."""
+    t0 = tables[0]
+    stacked = EdgeTable(
+        src=jnp.stack([t.src for t in tables]),
+        mask=jnp.stack([t.mask for t in tables]),
+        rsten=jnp.stack([t.rsten for t in tables]),
+        fwxp=jnp.stack([t.fwxp for t in tables]),
+        ln=jnp.stack([t.ln for t in tables]),
+        wxp=jnp.stack([t.wxp for t in tables]),
+        vmask=jnp.stack([t.vmask for t in tables]),
+        n_valid=t0.n_valid,
+        band_limit=t0.band_limit,
+        n_rings=t0.n_rings,
+    )
+    panels = [build_panel_table(t, tb=panel_tb, compressed=True)
+              for t in tables]
+    return MeshBatch(
+        pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
+        table=stacked,
+        labels=jnp.stack([jnp.asarray(l) for l in labels]),
+        panel=panels,
     )
 
 
@@ -195,7 +236,18 @@ def make_optimizer(config: ExperimentConfig, steps_per_epoch: int = 1):
 
 
 def batched_apply(net, params, batch: MeshBatch, rngs=None, **kw):
-    """vmap the model over the mesh batch axis (params broadcast)."""
+    """vmap the model over the mesh batch axis (params broadcast).
+
+    Panel-layout batches unroll the batch instead (per-mesh panel counts
+    differ, and the scalar-prefetch panel kernel is not vmapped); the
+    panel regime is large meshes at batch 1, so the unroll is free."""
+    if batch.panel is not None:
+        outs = []
+        for i, pn in enumerate(batch.panel):
+            ti = jax.tree.map(lambda x: x[i], batch.table)
+            outs.append(net.apply(params, batch.pos[i], ti, pn, pn,
+                                  rngs=rngs, **kw))
+        return jnp.stack(outs)
     if batch.comp is not None:
         def one_c(pos, table, banded, comp):
             return net.apply(params, pos, table, banded, comp,
@@ -224,7 +276,8 @@ def make_loss_fn(net, config: ExperimentConfig, n_classes: int):
             config.random_scale,
         )
         aug = MeshBatch(pos=pos, table=batch.table, labels=batch.labels,
-                        banded=batch.banded, comp=batch.comp)
+                        banded=batch.banded, comp=batch.comp,
+                        panel=batch.panel)
         if task == "classification":
             logits = batched_apply(net, params, aug)[:, 0, :]   # (B, C)
             return losses.cross_entropy(logits, batch.labels)
@@ -288,10 +341,12 @@ def make_twin_train_step(net, config: ExperimentConfig, opt):
                                      config.random_scale)
             fs = batched_apply(net, params,
                                MeshBatch(ps, batch_s.table, batch_s.labels,
-                                         batch_s.banded, batch_s.comp))
+                                         batch_s.banded, batch_s.comp,
+                                         batch_s.panel))
             ft = batched_apply(net, params,
                                MeshBatch(pt, batch_t.table, batch_t.labels,
-                                         batch_t.banded, batch_t.comp))
+                                         batch_t.banded, batch_t.comp,
+                                         batch_t.panel))
             keys = jax.random.split(kl, fs.shape[0])
             per_mesh = jax.vmap(
                 lambda k, s, t, pp, np_: losses.twin_loss(
