@@ -29,6 +29,10 @@ class CorrespondenceNet(lnn.Module):
     lift_impl: str = "auto"
     echo_impl: str = "auto"
     echo_panel_chunk: int = 8     # panels per scan step on the panel path
+    # rematerialise each FCResNet block in the backward: at 100k+ vertices
+    # the per-conv activation temps ((N, 32, 2) tensors, 4x tile-padded on
+    # TPU) otherwise dominate HBM (scripts/scale_100k.py)
+    remat_blocks: bool = False
     axis_name: Optional[str] = None
     # return the 256-dim pre-head features instead of applying lin2: the
     # big-vocab pattern for the 100k config, where (N, 4999) logits are
@@ -51,17 +55,19 @@ class CorrespondenceNet(lnn.Module):
             d_chunk=self.d_chunk, axis_name=self.axis_name, name="lift",
         )(pos, table, (B, B + 1), lift_comp)
 
-        x = FCResNetBlock(16, nf, name="resnet1", **kw)(x1, table, banded)
-        x2 = FCResNetBlock(nf, nf, name="resnet2", **kw)(x, table, banded) + \
+        Block = lnn.remat(FCResNetBlock) if self.remat_blocks \
+            else FCResNetBlock
+        x = Block(16, nf, name="resnet1", **kw)(x1, table, banded)
+        x2 = Block(nf, nf, name="resnet2", **kw)(x, table, banded) + \
             TangentPerceptron(16, nf, name="res1")(x1)
-        x = FCResNetBlock(nf, nf, name="resnet3", **kw)(x2, table, banded)
-        x3 = FCResNetBlock(nf, nf, name="resnet4", **kw)(x, table, banded) + \
+        x = Block(nf, nf, name="resnet3", **kw)(x2, table, banded)
+        x3 = Block(nf, nf, name="resnet4", **kw)(x, table, banded) + \
             TangentPerceptron(nf, nf, name="res2")(x2)
-        x = FCResNetBlock(nf, nf, name="resnet5", **kw)(x3, table, banded)
-        x4 = FCResNetBlock(nf, nf, name="resnet6", **kw)(x, table, banded) + \
+        x = Block(nf, nf, name="resnet5", **kw)(x3, table, banded)
+        x4 = Block(nf, nf, name="resnet6", **kw)(x, table, banded) + \
             TangentPerceptron(nf, nf, name="res3")(x3)
-        x = FCResNetBlock(nf, nf, name="resnet7", **kw)(x4, table, banded)
-        x = FCResNetBlock(nf, 16, frontload=True, name="resnet8", **kw)(x, table, banded) + \
+        x = Block(nf, nf, name="resnet7", **kw)(x4, table, banded)
+        x = Block(nf, 16, frontload=True, name="resnet8", **kw)(x, table, banded) + \
             TangentPerceptron(nf, 16, name="res4")(x4)
 
         x = ECHOBlock(

@@ -245,8 +245,12 @@ def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
         meta = jnp.concatenate(
             [meta, jnp.zeros((meta.shape[0], pad), meta.dtype)], axis=1)
 
-    def chunk_partials(args):
-        sten_c, src_c = args                     # (pc, planes, TB, TB), (pc,)
+    def chunk_partials(carry, i):
+        # dynamic_slice instead of pre-reshaped map inputs — mapping over
+        # split(sten) materialises a full layout copy of the multi-GB
+        # panel stencil (see echo_panel)
+        sten_c = jax.lax.dynamic_slice_in_dim(sten, i * pc, pc, axis=0)
+        src_c = jax.lax.dynamic_slice_in_dim(meta[1], i * pc, pc, axis=0)
         if compressed:
             rv = sten_c[:, 0]                            # (pc, TB, TB)
             hats = _hats_from_r(rv, R)                   # (R, pc, TB, TB)
@@ -271,16 +275,16 @@ def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
         sm = hats * wmag[None]                           # (R, pc, TB, TB)
         magp = jnp.einsum("rpts,psc->ptcr", sm, xs,
                           preferred_element_type=jnp.float32)
-        return part, ssum, magp
+        return (), (part, ssum, magp)
 
     nchunks = P_pad // pc
-    split = lambda a: a.reshape(nchunks, pc, *a.shape[1:])
     # remat the chunk body: without it, reverse-mode stacks each step's
     # einsum residuals ((R, pc, TB, TB, 2) and friends) over all chunks —
     # multi-GB at 163k vertices.  Recomputing from the stencil chunk (an
-    # already-resident scan input) costs one extra VPU pass.
-    part, ssum, magp = jax.lax.map(
-        jax.checkpoint(chunk_partials), (split(sten), split(meta[1])))
+    # already-resident slice) costs one extra VPU pass.
+    _, (part, ssum, magp) = jax.lax.scan(
+        jax.checkpoint(chunk_partials), (),
+        jnp.arange(nchunks, dtype=jnp.int32))
     part = part.reshape(P_pad, TB, C, R, 2)
     ssum = ssum.reshape(P_pad, TB, R, 2)
     magp = magp.reshape(P_pad, TB, C, R)

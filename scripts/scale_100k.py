@@ -172,7 +172,7 @@ def run_full_model(panel, table, edges_n, rng):
     net = CorrespondenceNet(n_classes=n_classes, nf=32, n_des=12, n_bins=2,
                             band_limit=table.band_limit,
                             n_rings=table.n_rings,
-                            echo_panel_chunk=echo_pc)
+                            echo_panel_chunk=echo_pc, remat_blocks=True)
     t0 = time.time()
     # NOTE: the panel table rides as a jit ARGUMENT everywhere (closures
     # inline the 5.5GB stencil as a stablehlo constant — module blowup)

@@ -298,6 +298,114 @@ def test_full_correspondence_net_parity(ref, rng):
     _assert_grads_close(got_g, want_g, atol=6e-3)
 
 
+def test_training_trajectory_parity(ref, rng):
+    """50 batch-1 Adam steps, torch vs optax, identical weights / data /
+    augmentation stream: per-step losses must track within f32 drift.
+
+    This pins the last untested layer between "ops match" and "training
+    matches" (VERDICT r3 #3): torch.optim.Adam vs optax.adam semantics
+    (bias correction, eps placement), the CE loss, and the augmentation
+    application — the stream itself is generated once in numpy (random
+    ±45° rotations + 0.85-1.15 scales, classification.ipynb cell 5) and
+    injected into BOTH trainers, the closest obtainable proxy for the
+    SHREC11 accuracy-parity north star while archives are unobtainable.
+    Both sides run float32 (the reference trains f32 on CUDA)."""
+    import optax
+
+    B, R, nf, n_classes, n_steps = 2, 6, 8, 5, 50
+    meshes = []
+    for m in range(3):
+        g, table, pos_j, t_in, _ = _prep(ref, rng, B, R, epsilon=0.35)
+        label = int(rng.integers(0, n_classes))
+        meshes.append((g, table, t_in, label))
+
+    tmodel = TorchClassificationNet(ref.nn, n_classes, nf, B, R, ftype=1)
+    tmodel._soft_abs = ref.field.softAbs
+    set_params(tmodel, rng, scale=0.4)
+    tmodel = tmodel.float()
+
+    net = ClassificationNet(n_classes=n_classes, nf=nf, band_limit=B,
+                            n_rings=R, ftype=1, legacy_lift_slice=True)
+    g0, table0, _, _ = meshes[0]
+    pos0 = jnp.zeros((table0.n_pad, 3), jnp.float32)
+    params = _port(net, (pos0, table0), {}, tmodel)
+
+    # one shared augmentation stream (numpy), applied identically
+    def rot_mat(a):
+        cx, sx, cy, sy, cz, sz = (np.cos(a[0]), np.sin(a[0]), np.cos(a[1]),
+                                  np.sin(a[1]), np.cos(a[2]), np.sin(a[2]))
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        return rz @ ry @ rx
+
+    aug_rng = np.random.default_rng(1234)
+    base_pos = [np.asarray(m[2][0], np.float64) for m in meshes]
+    augs = []
+    for step in range(n_steps):
+        a = aug_rng.uniform(-np.pi / 4, np.pi / 4, 3)
+        s = aug_rng.uniform(0.85, 1.15)
+        i = step % len(meshes)
+        augs.append((i, (base_pos[i] @ rot_mat(a).T * s).astype(np.float32)))
+
+    # --- torch trajectory (float32, torch.optim.Adam lr .01, CE) ----------
+    opt_t = torch.optim.Adam(tmodel.parameters(), lr=0.01)
+    crit = torch.nn.CrossEntropyLoss()
+    t_losses = []
+    for step in range(n_steps):
+        i, pos_a = augs[step]
+        _, _, (_, edges_t, sten_t), label = meshes[i]
+        out = tmodel(torch.tensor(pos_a), edges_t,
+                     sten_t.to(torch.complex64))
+        loss = crit(out, torch.tensor([label]))
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+        t_losses.append(float(loss))
+
+    # --- optax trajectory (the trainer's optimizer construction) ----------
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, pos, table, label):
+        def loss_fn(p):
+            logits = net.apply(p, pos, table)[0]
+            return -jax.nn.log_softmax(logits)[label]
+
+        l, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    j_losses = []
+    for step in range(n_steps):
+        i, pos_a = augs[step]
+        _, table, _, label = meshes[i]
+        pos_pad = np.zeros((table.n_pad, 3), np.float32)
+        pos_pad[: len(pos_a)] = pos_a
+        params, opt_state, l = step_fn(params, opt_state,
+                                       jnp.asarray(pos_pad), table, label)
+        j_losses.append(float(l))
+
+    t_losses = np.asarray(t_losses)
+    j_losses = np.asarray(j_losses)
+    diff = np.abs(j_losses - t_losses)
+    # Measured drift shape (seed 0): identical to ~6 decimals over the
+    # first 10 steps (<=1e-6), ~1e-3 by step 30, a few 1e-2 by step 48 as
+    # both sides converge to loss ~0.008 — compounding f32 rounding in a
+    # contracting trajectory, not semantic divergence.  The envelope
+    # asserts exactly that shape.
+    t = np.arange(n_steps)
+    tol = 1e-5 + 0.05 * (t / n_steps) ** 2
+    assert np.all(diff <= tol), (
+        "trajectories diverged:\n"
+        f"torch {t_losses}\njax   {j_losses}\n"
+        f"maxdiff {diff.max()} at step {diff.argmax()}")
+    # both trainers converged to the same place
+    assert t_losses[-1] < 0.05 and j_losses[-1] < 0.05
+    assert np.all(diff[:10] <= 5e-5)
+
+
 def test_full_matching_net_parity(ref, rng):
     B, R, nf = 1, 6, 12
     g, table, pos_j, t_in, _ = _prep(ref, rng, B, R, epsilon=0.35)
