@@ -211,7 +211,7 @@ def echo_panel(x, panel, n_bins: int, panel_chunk: int = 8, x_src=None,
     x: (N_out, C, 2) target rows; x_src optional global source rows for
     the graph-parallel path (default x).  Returns (N_out, C, dS).
     """
-    from ..precomp.banded import PanelTable, R_SENTINEL
+    from ..precomp.banded import PanelTable
 
     if isinstance(panel, PanelTable):
         if not panel.compressed:
@@ -239,23 +239,10 @@ def echo_panel(x, panel, n_bins: int, panel_chunk: int = 8, x_src=None,
     nzb = jnp.logical_not(is_origin(xb))        # (nb, TB, C)
 
     pc = min(panel_chunk, P)
-    P_pad = -(-P // pc) * pc
-    if P_pad != P:
-        pad = P_pad - P
-        pad_sten = jnp.zeros((pad,) + sten.shape[1:], sten.dtype)
-        pad_sten = pad_sten.at[:, 0].set(R_SENTINEL)
-        sten = jnp.concatenate([sten, pad_sten])
-        meta = jnp.concatenate(
-            [meta, jnp.zeros((meta.shape[0], pad), meta.dtype)], axis=1)
 
-    def chunk_hist(carry, i):
-        # dynamic_slice instead of a pre-reshaped scan input: scanning over
-        # split(sten) makes XLA materialise a full LAYOUT COPY of the
-        # multi-GB panel stencil (measured 5.16GB at 163k vertices)
-        sten_c = jax.lax.dynamic_slice_in_dim(sten, i * pc, pc, axis=0)
-        tgt_c = jax.lax.dynamic_slice_in_dim(meta[0], i * pc, pc, axis=0)
-        src_c = jax.lax.dynamic_slice_in_dim(meta[1], i * pc, pc, axis=0)
-        r = sten_c[:, 0]                                     # (pc, TB, TB)
+    def hist_part(carry, sten_c, tgt_c, src_c):
+        cb = sten_c.shape[0]
+        r = sten_c[:, 0]                                     # (cb, TB, TB)
         ln_c = jnp.stack([r * sten_c[:, 1], r * sten_c[:, 2]], -1)
         wxp_c = jnp.stack([sten_c[:, 3], sten_c[:, 4]], -1)  # (pc,TB,TB,2)
         xs = xb[src_c]                                       # (pc,TB_s,C,2)
@@ -287,11 +274,23 @@ def echo_panel(x, panel, n_bins: int, panel_chunk: int = 8, x_src=None,
         grid = grid + jnp.einsum("ztscp,ztsca,ztscb->ztcpab", votes, A_C,
                                  BC1, preferred_element_type=jnp.float32)
         hist = jnp.einsum("ztcpu,us->ztcps",
-                          grid.reshape(pc, TB, C, 2, w * w), fold,
+                          grid.reshape(cb, TB, C, 2, w * w), fold,
                           preferred_element_type=jnp.float32)
-        return carry.at[tgt_c].add(hist), None
+        return carry.at[tgt_c].add(hist)
 
-    nchunks = P_pad // pc
+    def chunk_hist(carry, i):
+        # dynamic_slice instead of a pre-reshaped scan input: scanning over
+        # split(sten) makes XLA materialise a full LAYOUT COPY of the
+        # multi-GB panel stencil (measured 5.16GB at 163k vertices)
+        sten_c = jax.lax.dynamic_slice_in_dim(sten, i * pc, pc, axis=0)
+        tgt_c = jax.lax.dynamic_slice_in_dim(meta[0], i * pc, pc, axis=0)
+        src_c = jax.lax.dynamic_slice_in_dim(meta[1], i * pc, pc, axis=0)
+        return hist_part(carry, sten_c, tgt_c, src_c), None
+
+    # whole chunks under scan; the remainder as ONE static-slice tail call
+    # (padding the panel axis would CONCATENATE — i.e. copy — the multi-GB
+    # stencil; a static tail slice copies only the tail panels)
+    n_main = P // pc
     init = jnp.zeros((nb_out, TB, C, 2, dS), dtype=x.dtype)
     # remat the chunk body: reverse-mode scan would otherwise stack each
     # step's (pc, TB, TB, C, w) one-hot/vote residuals over all ~P/pc
@@ -299,7 +298,11 @@ def echo_panel(x, panel, n_bins: int, panel_chunk: int = 8, x_src=None,
     # the already-resident stencil plus the step index.
     hist, _ = jax.lax.scan(
         jax.checkpoint(chunk_hist), init,
-        jnp.arange(nchunks, dtype=jnp.int32))
+        jnp.arange(n_main, dtype=jnp.int32))
+    if P % pc:
+        n0 = n_main * pc
+        hist = jax.checkpoint(hist_part)(
+            hist, sten[n0:], meta[0, n0:], meta[1, n0:])
     return soft_abs(jnp.moveaxis(hist.reshape(n_out, C, 2, dS), 2, 3))
 
 

@@ -231,19 +231,35 @@ def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
 
     xb_src = x_src.reshape(nb_src, TB, C)
 
-    # pad the panel axis to a multiple of panel_chunk with zero panels
-    # (tgt 0, src 0: zero stencil -> zero partial)
     pc = min(panel_chunk, P)
-    P_pad = -(-P // pc) * pc
-    if P_pad != P:
-        pad = P_pad - P
-        pad_sten = jnp.zeros((pad,) + sten.shape[1:], sten.dtype)
+
+    def chunk_partials_arrays(sten_c, src_c):
+        cb = sten_c.shape[0]
         if compressed:
-            from ..precomp.banded import R_SENTINEL
-            pad_sten = pad_sten.at[:, 0].set(R_SENTINEL)
-        sten = jnp.concatenate([sten, pad_sten])
-        meta = jnp.concatenate(
-            [meta, jnp.zeros((meta.shape[0], pad), meta.dtype)], axis=1)
+            rv = sten_c[:, 0]                            # (cb, TB, TB)
+            hats = _hats_from_r(rv, R)                   # (R, cb, TB, TB)
+            pr, pi = sten_c[:, 1], sten_c[:, 2]
+            wr, wi = sten_c[:, 3], sten_c[:, 4]
+            e1r, e1i = _phasor_power(pr, pi, k1 - B)
+            f1 = jnp.stack([wr * e1r - wi * e1i,
+                            wr * e1i + wi * e1r], -1)    # (cb, TB, TB, 2)
+            wmag = jnp.sqrt(wr * wr + wi * wi)
+        else:
+            hats = jnp.moveaxis(sten_c[:, :R], 1, 0)     # (R, cb, TB, TB)
+            fw = sten_c[:, R:].reshape(cb, K, 2, TB, TB)
+            f1 = jnp.moveaxis(fw[:, k1], 1, -1)          # (cb, TB, TB, 2)
+            f0 = fw[:, k0]
+            wmag = jnp.sqrt(f0[:, 0] ** 2 + f0[:, 1] ** 2)
+        xs = xb_src[src_c]                               # (cb, TB_s, C)
+        s1 = hats[..., None] * f1[None]                  # (R, cb, TB, TB, 2)
+        part = jnp.einsum("rptsj,psc->ptcrj", s1, xs,
+                          preferred_element_type=jnp.float32)
+        ssum = jnp.transpose(jnp.sum(s1, axis=3),
+                             (1, 2, 0, 3))               # (cb, TB, R, 2)
+        sm = hats * wmag[None]                           # (R, cb, TB, TB)
+        magp = jnp.einsum("rpts,psc->ptcr", sm, xs,
+                          preferred_element_type=jnp.float32)
+        return part, ssum, magp
 
     def chunk_partials(carry, i):
         # dynamic_slice instead of pre-reshaped map inputs — mapping over
@@ -251,43 +267,29 @@ def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
         # panel stencil (see echo_panel)
         sten_c = jax.lax.dynamic_slice_in_dim(sten, i * pc, pc, axis=0)
         src_c = jax.lax.dynamic_slice_in_dim(meta[1], i * pc, pc, axis=0)
-        if compressed:
-            rv = sten_c[:, 0]                            # (pc, TB, TB)
-            hats = _hats_from_r(rv, R)                   # (R, pc, TB, TB)
-            pr, pi = sten_c[:, 1], sten_c[:, 2]
-            wr, wi = sten_c[:, 3], sten_c[:, 4]
-            e1r, e1i = _phasor_power(pr, pi, k1 - B)
-            f1 = jnp.stack([wr * e1r - wi * e1i,
-                            wr * e1i + wi * e1r], -1)    # (pc, TB, TB, 2)
-            wmag = jnp.sqrt(wr * wr + wi * wi)
-        else:
-            hats = jnp.moveaxis(sten_c[:, :R], 1, 0)     # (R, pc, TB, TB)
-            fw = sten_c[:, R:].reshape(sten_c.shape[0], K, 2, TB, TB)
-            f1 = jnp.moveaxis(fw[:, k1], 1, -1)          # (pc, TB, TB, 2)
-            f0 = fw[:, k0]
-            wmag = jnp.sqrt(f0[:, 0] ** 2 + f0[:, 1] ** 2)
-        xs = xb_src[src_c]                               # (pc, TB_s, C)
-        s1 = hats[..., None] * f1[None]                  # (R, pc, TB, TB, 2)
-        part = jnp.einsum("rptsj,psc->ptcrj", s1, xs,
-                          preferred_element_type=jnp.float32)
-        ssum = jnp.transpose(jnp.sum(s1, axis=3),
-                             (1, 2, 0, 3))               # (pc, TB, R, 2)
-        sm = hats * wmag[None]                           # (R, pc, TB, TB)
-        magp = jnp.einsum("rpts,psc->ptcr", sm, xs,
-                          preferred_element_type=jnp.float32)
-        return (), (part, ssum, magp)
+        return (), chunk_partials_arrays(sten_c, src_c)
 
-    nchunks = P_pad // pc
+    # whole chunks under scan; the remainder as ONE static-slice tail call
+    # (padding the panel axis would CONCATENATE — copy — the multi-GB
+    # stencil)
+    n_main = P // pc
     # remat the chunk body: without it, reverse-mode stacks each step's
     # einsum residuals ((R, pc, TB, TB, 2) and friends) over all chunks —
     # multi-GB at 163k vertices.  Recomputing from the stencil chunk (an
     # already-resident slice) costs one extra VPU pass.
     _, (part, ssum, magp) = jax.lax.scan(
         jax.checkpoint(chunk_partials), (),
-        jnp.arange(nchunks, dtype=jnp.int32))
-    part = part.reshape(P_pad, TB, C, R, 2)
-    ssum = ssum.reshape(P_pad, TB, R, 2)
-    magp = magp.reshape(P_pad, TB, C, R)
+        jnp.arange(n_main, dtype=jnp.int32))
+    part = part.reshape(n_main * pc, TB, C, R, 2)
+    ssum = ssum.reshape(n_main * pc, TB, R, 2)
+    magp = magp.reshape(n_main * pc, TB, C, R)
+    if P % pc:
+        n0 = n_main * pc
+        pt, st, mt = jax.checkpoint(chunk_partials_arrays)(
+            sten[n0:], meta[1, n0:])
+        part = jnp.concatenate([part, pt])
+        ssum = jnp.concatenate([ssum, st])
+        magp = jnp.concatenate([magp, mt])
 
     seg = jax.ops.segment_sum(part, meta[0], num_segments=nb_out)
     ssum_seg = jax.ops.segment_sum(ssum, meta[0], num_segments=nb_out)

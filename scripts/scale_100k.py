@@ -143,8 +143,74 @@ def main():
 
     if int(os.environ.get("SCALE_MODEL", "0")):
         run_full_model(panel_d, table, edges_n, rng)
+    if int(os.environ.get("SCALE_DECOMP", "0")):
+        run_decomp(panel_d, table, rng)
     print(json.dumps({"stage": "total",
                       "seconds": round(time.time() - t_all, 1)}), flush=True)
+
+
+def run_decomp(panel, table, rng):
+    """Time the non-conv panel ops standalone at 163k (fwd+bwd): where the
+    full-model step's time goes beyond the 17 x 74 ms convs."""
+    import jax
+    import jax.numpy as jnp
+
+    from fieldconv_tpu.ops.echo import echo_panel
+    from fieldconv_tpu.ops.trans_field import trans_field_panel_contrib
+
+    Np = table.n_pad
+    echo_pc = int(os.environ.get("SCALE_ECHO_PC", "8"))
+
+    def timeit(name, f, *args):
+        g = jax.jit(jax.grad(f))
+        t0 = time.time()
+        float(jnp.sum(g(*args)))
+        compile_s = time.time() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(jnp.sum(g(*args)))
+            ts.append(time.time() - t0)
+        print(json.dumps({"stage": f"decomp_{name}",
+                          "compile_s": round(compile_s, 1),
+                          "ms_fwd_bwd": round(sorted(ts)[1] * 1e3, 1)}),
+              flush=True)
+
+    xs = jnp.asarray(rng.normal(size=(Np, 3)), jnp.float32)
+
+    def lift_loss(x, pn):
+        ang, mag = trans_field_panel_contrib(x, pn, lift_cols=(1, 2))
+        return jnp.sum(ang * ang) + jnp.sum(mag * mag)
+
+    timeit("lift", lambda x: lift_loss(x, panel), xs)
+
+    xe = jnp.asarray(np.stack([rng.normal(size=(Np, 12)),
+                               rng.normal(size=(Np, 12))], -1), jnp.float32)
+
+    def echo_loss(x):
+        h = echo_panel(x, panel, 2, panel_chunk=echo_pc)
+        return jnp.sum(h * h)
+
+    timeit(f"echo_pc{echo_pc}", echo_loss, xe)
+
+    feats = jnp.asarray(rng.normal(size=(Np, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(4999, 256)) * 0.01, jnp.float32)
+    b = jnp.zeros((4999,), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4999, Np), jnp.int32)
+
+    def head_loss(feats):
+        def chunk_ce(args):
+            f_c, lab_c = args
+            logits = f_c @ w.T + b
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.sum(jnp.take_along_axis(lp, lab_c[:, None], 1))
+        nc = 21
+        per = jax.lax.map(jax.checkpoint(chunk_ce),
+                          (feats.reshape(nc, Np // nc, -1),
+                           labels.reshape(nc, Np // nc)))
+        return jnp.sum(per) / Np
+
+    timeit("head", head_loss, feats)
 
 
 def run_full_model(panel, table, edges_n, rng):

@@ -1,0 +1,180 @@
+"""The analytic communication model vs the collectives XLA actually emits
+(VERDICT r3 #6): compile the graph-parallel paths on the virtual 8-device
+mesh, parse the post-SPMD HLO for all-gather / reduce-scatter /
+collective-permute instructions, and assert the per-device wire bytes
+match parallel/comm_model.py exactly."""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from conftest import random_graph
+from test_band_conv import banded_graph, tables_for
+from fieldconv_tpu.parallel import comm_model as cm
+
+_COLL = re.compile(
+    r"=\s+(\([^)]*\)|f32\[[\d,]*\]\S*)\s+"
+    r"(all-gather|reduce-scatter|collective-permute)\(")
+_SHAPE = re.compile(r"f32\[([\d,]*)\]")
+
+
+def collective_wire_bytes(txt: str, n_shards: int) -> dict:
+    """Per-device ring wire bytes by collective kind, from compiled HLO.
+
+    all-gather result = the FULL buffer: a device receives the (S-1)/S it
+    does not own.  reduce-scatter result = the local shard: a device
+    receives S-1 partial copies of it.  collective-permute result = the
+    block sent/received per instruction.  Tuple results (XLA's
+    all-gather-combiner) contribute every member."""
+    out = {"all_gather": 0, "reduce_scatter": 0, "ppermute": 0}
+    for m in _COLL.finditer(txt):
+        kind = m.group(2)
+        for sm in _SHAPE.finditer(m.group(1)):
+            shape = [int(s) for s in sm.group(1).split(",") if s]
+            n = int(np.prod(shape)) if shape else 1
+            if kind == "all-gather":
+                assert n % n_shards == 0
+                out["all_gather"] += (n - n // n_shards) * 4
+            elif kind == "reduce-scatter":
+                out["reduce_scatter"] += n * (n_shards - 1) * 4
+            else:
+                out["ppermute"] += n * 4
+    return out
+
+
+def test_panel_conv_collective_bytes(rng):
+    """One panel-gp FieldConv fwd+bwd: exactly one all_gather of g and one
+    reduce_scatter of dG, at the model's byte counts."""
+    from fieldconv_tpu.parallel.panel_gp import (field_conv_panel_gp,
+                                                 local_shard)
+    from fieldconv_tpu.precomp.banded import (build_panel_table, kd_order,
+                                              reorder_precompute,
+                                              shard_panel_table)
+    from fieldconv_tpu.precomp.stencil import build_edge_table
+
+    n_shards, B, R, C, O = 4, 1, 3, 4, 3
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=B, R=R, epsilon=0.5)
+    perm = kd_order(rng.normal(size=(64, 3)), tb=8)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], 64, B, R, 0.5, n_multiple=8)
+    panel = build_panel_table(table, tb=8, compressed=True)
+    shards = shard_panel_table(panel, n_shards)
+    N = table.n_pad
+    x = jnp.zeros((N, C, 2), jnp.float32)
+    zon = jnp.zeros((O, C, R))
+    sph = jnp.zeros((O, C, R, B, 2))
+    ph = jnp.zeros((O, C, B + 1))
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    gp = P("graph")
+
+    def loss(x_l, sten, meta, meta_s, cov):
+        sh = local_shard(type(shards)(
+            sten=sten, meta=meta, meta_s=meta_s, coverage=cov,
+            tb=shards.tb, n_pad=shards.n_pad, n_local=shards.n_local,
+            band_limit=shards.band_limit, n_rings=shards.n_rings,
+            compressed=shards.compressed))
+        y = field_conv_panel_gp(x_l, sh, zon, sph, ph, 1, "graph")
+        return jax.lax.psum(jnp.sum(y * y), "graph")
+
+    sm = jax.shard_map(loss, mesh=mesh, in_specs=(gp, gp, gp, gp, gp),
+                       out_specs=P(), check_vma=False)
+
+    def wrapped(x):
+        return sm(x, shards.sten, shards.meta, shards.meta_s,
+                  shards.coverage)
+
+    txt = jax.jit(jax.value_and_grad(wrapped)).lower(x).compile().as_text()
+    got = collective_wire_bytes(txt, n_shards)
+    want = cm.conv_panel_bytes(N, N // n_shards, B, C)
+    assert got["all_gather"] == want["fwd_all_gather"], (got, want)
+    assert got["reduce_scatter"] == want["bwd_reduce_scatter"], (got, want)
+    assert got["ppermute"] == 0
+
+
+def test_halo_conv_collective_bytes(rng):
+    """One halo-gp band contraction fwd+bwd: four ppermutes (left+right
+    boundary windows, forward and transpose) at the model's byte counts."""
+    from fieldconv_tpu.ops.pallas.band_conv import (
+        rotated_source_tensor_kmajor)
+    from fieldconv_tpu.parallel.halo import halo_contrib
+    from fieldconv_tpu.precomp.banded import BandedTable
+
+    n_dev, C = 4, 3
+    g = banded_graph(rng, n_vertices=128, tb=8, bw=7)
+    table, banded = tables_for(g, tb=8)
+    B = g["B"]
+    x = jnp.zeros((table.n_pad, C, 2), jnp.float32)
+    gk = rotated_source_tensor_kmajor(x, B)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("graph",))
+
+    def sharded_loss(gk, sten):
+        local = BandedTable(
+            sten_band=sten, tb=banded.tb, nh=banded.nh,
+            n_pad=gk.shape[0], band_limit=banded.band_limit,
+            n_rings=banded.n_rings)
+        out = halo_contrib(gk, local, "graph")
+        return jax.lax.psum(jnp.sum(out ** 2), "graph")
+
+    loss = jax.shard_map(sharded_loss, mesh=mesh,
+                         in_specs=(P("graph"), P("graph")), out_specs=P(),
+                         check_vma=False)
+    txt = jax.jit(jax.grad(
+        lambda gk: loss(gk, banded.sten_band))).lower(gk).compile().as_text()
+    got = collective_wire_bytes(txt, n_dev)
+    want = cm.conv_halo_bytes(banded.nh, banded.tb, B, C)
+    assert got["ppermute"] == want["fwd_ppermute"] + want["bwd_ppermute"], (
+        got, want)
+    assert got["all_gather"] == 0 and got["reduce_scatter"] == 0
+
+
+def test_correspondence_panel_step_bytes(rng):
+    """The FULL correspondence net over panel shards: the compiled step's
+    total all_gather / reduce_scatter bytes equal the model's per-layer
+    enumeration (17 convs at their input widths + lift + echo) — the table
+    projected to the 163k config in docs/KERNEL_NOTES.md rests on this."""
+    from fieldconv_tpu.models import CorrespondenceNet
+    from fieldconv_tpu.parallel.panel_gp import (
+        make_panel_gp_value_and_grad, panel_gp_batch, place_panel_gp_batch)
+    from fieldconv_tpu.precomp.banded import (build_panel_table, kd_order,
+                                              reorder_precompute,
+                                              shard_panel_table)
+    from fieldconv_tpu.precomp.stencil import build_edge_table
+    from fieldconv_tpu.train.config import ExperimentConfig
+
+    n_shards, B, R, nf, n_des = 4, 1, 3, 8, 6
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=B, R=R, epsilon=0.5)
+    perm = kd_order(rng.normal(size=(64, 3)), tb=8)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], 64, B, R, 0.5, n_multiple=8)
+    panel = build_panel_table(table, tb=8, compressed=True)
+    shards = shard_panel_table(panel, n_shards)
+    N = table.n_pad
+    pos = np.zeros((N, 3), np.float32)
+    labels = np.zeros(N, np.int32)
+
+    config = ExperimentConfig(task="correspondence", band_limit=B,
+                              n_rings=R, random_rotate_deg=0.0,
+                              random_scale=None)
+    net = CorrespondenceNet(n_classes=5, nf=nf, n_des=n_des, n_bins=2,
+                            band_limit=B, n_rings=R, dropout=0.0,
+                            axis_name="graph")
+    params = net.clone(axis_name=None).init(
+        jax.random.key(0), pos, table)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    b = place_panel_gp_batch(
+        panel_gp_batch(pos, table, labels, shards), mesh)
+    vag = make_panel_gp_value_and_grad(net, config, 5, mesh, b)
+    with mesh:
+        txt = jax.jit(vag).lower(
+            params, jax.random.key(0), b).compile().as_text()
+    got = collective_wire_bytes(txt, n_shards)
+    want = cm.correspondence_panel_step_bytes(N, N // n_shards, B, nf,
+                                              n_des)
+    assert got["all_gather"] == want["all_gather"], (got, want)
+    assert got["reduce_scatter"] == want["reduce_scatter"], (got, want)
