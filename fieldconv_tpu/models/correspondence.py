@@ -28,7 +28,8 @@ class CorrespondenceNet(lnn.Module):
     d_chunk: int = 128
     lift_impl: str = "auto"
     echo_impl: str = "auto"
-    echo_panel_chunk: int = 8     # panels per scan step on the panel path
+    echo_panel_chunk: int = 8     # panels per scan step (XLA panel path)
+    echo_panel_impl: str = "pallas"   # panel-path ECHO kernel (or "xla")
     # rematerialise each FCResNet block in the backward: at 100k+ vertices
     # the per-conv activation temps ((N, 32, 2) tensors, 4x tile-padded on
     # TPU) otherwise dominate HBM (scripts/scale_100k.py)
@@ -73,7 +74,8 @@ class CorrespondenceNet(lnn.Module):
         x = ECHOBlock(
             16, nf, n_des=self.n_des, n_bins=self.n_bins,
             echo_impl=self.echo_impl,
-            echo_panel_chunk=self.echo_panel_chunk, name="echo", **kw
+            echo_panel_chunk=self.echo_panel_chunk,
+            echo_panel_impl=self.echo_panel_impl, name="echo", **kw
         )(x, table, banded, comp)
         x = lnn.relu(Linear(nf, 256, name="lin1")(x))
         x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)

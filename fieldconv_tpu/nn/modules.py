@@ -252,14 +252,21 @@ class ECHO(lnn.Module):
     # chunk only when the (N, D, C, w) intermediates would not fit HBM)
     d_chunk: int = 128
     impl: str = "auto"
-    panel_chunk: int = 8          # panels per scan step on the panel path
+    panel_chunk: int = 8          # panels per scan step on the XLA panel path
+    # panel-path implementation: "pallas" (in-VMEM channel-major kernel,
+    # ops/pallas/echo_panel.py — ~6x the XLA path at 163k) or "xla"
+    panel_impl: str = "pallas"
     axis_name: Optional[str] = None
 
     def __call__(self, x, table: EdgeTable, comp=None):
         from ..precomp.banded import PanelTable
 
         if isinstance(comp, PanelTable) and self.axis_name is None:
-            # 100k-capable panel-CSR path (ops/echo.py::echo_panel)
+            # 100k-capable panel-CSR path
+            if self.panel_impl == "pallas":
+                from ..ops.pallas.echo_panel import echo_panel_pallas
+
+                return echo_panel_pallas(x, comp, self.n_bins)
             return echo_ops.echo_panel(x, comp, self.n_bins,
                                        panel_chunk=self.panel_chunk)
         use_banded = (comp is not None) if self.impl == "auto" \
@@ -274,18 +281,12 @@ class ECHO(lnn.Module):
                 from ..parallel.panel_gp import echo_panel_gp
 
                 return echo_panel_gp(x, comp, self.n_bins, self.axis_name,
-                                     panel_chunk=self.panel_chunk)
+                                     panel_chunk=self.panel_chunk,
+                                     impl=self.panel_impl)
             from ..parallel.halo import _exchange_halos
 
             halo = _exchange_halos(x, comp.nh * comp.tb, self.axis_name)
             return echo_ops.echo_banded(x, comp, self.n_bins, halo=halo)
-        if self.impl == "pallas":
-            if comp is None:
-                raise ValueError("echo impl 'pallas' requires a "
-                                 "CompressedBandedTable")
-            from ..ops.pallas.echo_band import echo_banded_pallas
-
-            return echo_banded_pallas(x, comp, self.n_bins)
         if use_banded:
             if comp is None:
                 raise ValueError("echo impl 'banded' requires a "
@@ -320,6 +321,7 @@ class ECHOBlock(lnn.Module):
     d_chunk: int = 128
     echo_impl: str = "auto"
     echo_panel_chunk: int = 8
+    echo_panel_impl: str = "pallas"
     axis_name: Optional[str] = None
 
     @lnn.compact
@@ -338,6 +340,7 @@ class ECHOBlock(lnn.Module):
                           name="nonlin")(h)
         h = ECHO(n_des, self.n_bins, d_chunk=self.d_chunk,
                  impl=self.echo_impl, panel_chunk=self.echo_panel_chunk,
+                 panel_impl=self.echo_panel_impl,
                  axis_name=self.axis_name, name="echo")(h, table, comp)
         h = h.reshape(h.shape[0], -1)
         mid = n_des * echo_ops.hist_dim(self.n_bins)

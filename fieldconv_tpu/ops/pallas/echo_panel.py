@@ -1,0 +1,318 @@
+"""Pallas TPU kernel: panel-CSR ECHO rasterisation — the 100k hot op.
+
+The XLA echo_panel (ops/echo.py) measured 5.45 s fwd+bwd at the 163k
+correspondence config — 72% of the full-model step.  Its intermediates
+carry the channel (C=12) or polarisation (2) axis minor, which the TPU
+tiles to 128 lanes (10-25x padding), and every scan step round-trips
+them through HBM.  This kernel runs the whole splat in VMEM with
+CHANNEL-MAJOR (C, TB_t, TB_s) tensors — the minor axis is always the
+128-slot panel axis, so tiling is exact — on the panel grid of
+precomp.banded.PanelTable (one (tgt-block, src-block) stencil panel per
+grid step, histogram accumulated across each target's panel run, exactly
+like band_conv._band_panel).
+
+Grid-cell loop structure per ops/pallas/echo_band.py's r4 restructure:
+the output layout (nb, 2·w², C, TB) puts the cell index q on a leading
+dynamically-indexable axis, so one lax.fori_loop body serves all w²
+cells.  Backward: the by-source panel ordering (meta_s) accumulates each
+SOURCE block's dx in scratch and writes it once — no scatter.  Gradients
+flow through the votes and the bilinear weights; the cell masks and
+floor/ceil corners are piecewise-constant (zero gradient), matching
+XLA's autodiff of the int casts (parity: tests/test_band_conv.py::
+test_echo_panel_pallas_matches_xla).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.complexops import EPS, soft_abs
+from ..echo import disk_map
+from .band_conv import _compiler_params, _interpret
+
+
+def _chunk_cols(C, cc):
+    return [(c0, min(c0 + cc, C)) for c0 in range(0, C, cc)]
+
+
+def _panel_tensors(sten_ref, x_ref, C, c0, c1, nbins):
+    """Per-(panel, channel-chunk) forward tensors, channel-major.
+
+    sten_ref: (1, 5, TB, TB) compressed panel; x_ref: (2C, TB) planar
+    source rows (re rows then im rows).  All (CC, TB_t, TB_s) tensors
+    keep the source-slot axis minor (exact 128-lane tiling)."""
+    rv = sten_ref[0, 0]                              # (TBt, TBs)
+    ln_re = rv * sten_ref[0, 1]
+    ln_im = rv * sten_ref[0, 2]
+    wre = sten_ref[0, 3]
+    wim = sten_ref[0, 4]
+
+    xre = x_ref[c0:c1, :]                            # (CC, TBs)
+    xim = x_ref[C + c0:C + c1, :]
+    nz = jnp.logical_or(jnp.abs(xre) >= EPS, jnp.abs(xim) >= EPS)
+    nzf = nz.astype(jnp.float32)
+    r2 = xre * xre + xim * xim
+    inv_r = jax.lax.rsqrt(jnp.where(nz, r2, 1.0))
+    uR = xre * inv_r * nzf                           # unit(x) components
+    uI = xim * inv_r * nzf
+
+    # aligned = ln · conj(unit(x)); p = nbins·aligned; p*[c, t, s]
+    p1 = nbins * (ln_re[None] * uR[:, None, :] + ln_im[None] * uI[:, None, :])
+    p2 = nbins * (-ln_re[None] * uI[:, None, :] + ln_im[None] * uR[:, None, :])
+    fnb = float(nbins)
+    pC1 = jnp.clip(jnp.ceil(p1), -fnb, fnb)
+    pF1 = jnp.clip(jnp.floor(p1), -fnb, fnb)
+    pC2 = jnp.clip(jnp.ceil(p2), -fnb, fnb)
+    pF2 = jnp.clip(jnp.floor(p2), -fnb, fnb)
+    w0 = (pC1 - p1) * (pC2 - p2)
+    w1 = (p1 - pF1) * (p2 - pF2)
+    w2 = (p1 - pF1) * (pC2 - p2)
+    w3 = (pC1 - p1) * (p2 - pF2)
+
+    v_re = (xre[:, None, :] * wre[None] - xim[:, None, :] * wim[None]) \
+        * nzf[:, None, :]
+    v_im = (xre[:, None, :] * wim[None] + xim[:, None, :] * wre[None]) \
+        * nzf[:, None, :]
+
+    return dict(ln_re=ln_re, ln_im=ln_im, wre=wre, wim=wim,
+                xre=xre, xim=xim, nzf=nzf, inv_r=inv_r, uR=uR, uI=uI,
+                p1=p1, p2=p2, pC1=pC1, pF1=pF1, pC2=pC2, pF2=pF2,
+                w0=w0, w1=w1, w2=w2, w3=w3, v_re=v_re, v_im=v_im)
+
+
+def _cell_weight(t, q, nbins, w):
+    """Cell mask weight for grid cell q = a·w + b (a, b from the traced
+    q: one compiled body serves every cell)."""
+    a_i = q // w
+    b_i = q % w
+    va = (a_i - nbins).astype(jnp.float32)
+    vb = (b_i - nbins).astype(jnp.float32)
+    AF = (t["pF1"] == va).astype(jnp.float32)
+    AC = (t["pC1"] == va).astype(jnp.float32)
+    BF = (t["pF2"] == vb).astype(jnp.float32)
+    BC = (t["pC2"] == vb).astype(jnp.float32)
+    return (AF, AC, BF, BC,
+            AF * (t["w0"] * BF + t["w3"] * BC)
+            + AC * (t["w2"] * BF + t["w1"] * BC))
+
+
+def _fwd_kernel(meta_ref, x_ref, sten_ref, out_ref, *, TB, C, nbins, cc):
+    p = pl.program_id(0)
+    w = 2 * nbins + 1
+    first = meta_ref[2, p] == 1
+    for c0, c1 in _chunk_cols(C, cc):
+        t = _panel_tensors(sten_ref, x_ref, C, c0, c1, nbins)
+
+        def cell(q, _):
+            _, _, _, _, W = _cell_weight(t, q, nbins, w)
+            se = jnp.sum(W * t["v_re"], axis=2)          # (CC, TBt)
+            si = jnp.sum(W * t["v_im"], axis=2)
+
+            @pl.when(first)
+            def _():
+                out_ref[0, q, c0:c1, :] = se
+                out_ref[0, w * w + q, c0:c1, :] = si
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                out_ref[0, q, c0:c1, :] += se
+                out_ref[0, w * w + q, c0:c1, :] += si
+
+            return 0
+
+        jax.lax.fori_loop(0, w * w, cell, 0)
+
+
+def _bwd_kernel(meta_s_ref, dg_ref, x_ref, sten_ref, dx_ref, dx_acc,
+                *, TB, C, nbins, cc):
+    p = pl.program_id(0)
+    w = 2 * nbins + 1
+    nbf = float(nbins)
+    flags = meta_s_ref[3, p]                 # first_s + 2·last_s
+
+    @pl.when(flags % 2 == 1)
+    def _():
+        dx_acc[:] = jnp.zeros_like(dx_acc)
+
+    for c0, c1 in _chunk_cols(C, cc):
+        t = _panel_tensors(sten_ref, x_ref, C, c0, c1, nbins)
+
+        def cell(q, carry):
+            dv_re, dv_im, dw0, dw1, dw2, dw3 = carry
+            AF, AC, BF, BC, W = _cell_weight(t, q, nbins, w)
+            dgr = dg_ref[0, q, c0:c1, :][:, :, None]     # (CC, TBt, 1)
+            dgi = dg_ref[0, w * w + q, c0:c1, :][:, :, None]
+            dv_re = dv_re + W * dgr
+            dv_im = dv_im + W * dgi
+            dW = t["v_re"] * dgr + t["v_im"] * dgi
+            return (dv_re, dv_im,
+                    dw0 + (AF * BF) * dW, dw1 + (AC * BC) * dW,
+                    dw2 + (AC * BF) * dW, dw3 + (AF * BC) * dW)
+
+        zero = jnp.zeros_like(t["v_re"])
+        dv_re, dv_im, dw0, dw1, dw2, dw3 = jax.lax.fori_loop(
+            0, w * w, cell, (zero, zero, zero, zero, zero, zero))
+
+        e1C = t["pC1"] - t["p1"]
+        e1F = t["p1"] - t["pF1"]
+        e2C = t["pC2"] - t["p2"]
+        e2F = t["p2"] - t["pF2"]
+        dp1 = -dw0 * e2C + dw1 * e2F + dw2 * e2C - dw3 * e2F
+        dp2 = -dw0 * e1C + dw1 * e1F - dw2 * e1F + dw3 * e1C
+        da_re = nbf * dp1
+        da_im = nbf * dp2
+        # aligned = ln·(uR, -uI): sum over the TARGET (sublane) axis
+        lr, li = t["ln_re"][None], t["ln_im"][None]
+        duR = jnp.sum(da_re * lr + da_im * li, axis=1)       # (CC, TBs)
+        duI = -jnp.sum(-da_re * li + da_im * lr, axis=1)
+        # unit(x) = x/|x|: symmetric Jacobian (I - ûûᵀ)/r, 0 at origin
+        dot = t["uR"] * duR + t["uI"] * duI
+        dx_re_u = (duR - t["uR"] * dot) * t["inv_r"] * t["nzf"]
+        dx_im_u = (duI - t["uI"] * dot) * t["inv_r"] * t["nzf"]
+        # votes = (x · wxp)·nz: dx += conj(wxp)·dv, summed over targets
+        wre_, wim_ = t["wre"][None], t["wim"][None]
+        dx_re_v = jnp.sum(dv_re * wre_ + dv_im * wim_, axis=1) * t["nzf"]
+        dx_im_v = jnp.sum(-dv_re * wim_ + dv_im * wre_, axis=1) * t["nzf"]
+        dx_acc[c0:c1, :] += dx_re_u + dx_re_v
+        dx_acc[C + c0:C + c1, :] += dx_im_u + dx_im_v
+
+    @pl.when(flags >= 2)
+    def _():
+        dx_ref[:] = dx_acc[:]
+
+
+def _fwd_impl(x2t, sten, meta, tb, n_bins, cc, nb_out):
+    C2, N = x2t.shape
+    C = C2 // 2
+    TB = tb
+    P = sten.shape[0]
+    w = 2 * n_bins + 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((C2, TB), lambda p, m: (0, m[1, p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, TB, TB), lambda p, m: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * w * w, C, TB),
+                               lambda p, m: (m[0, p], 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, TB=TB, C=C, nbins=n_bins, cc=cc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb_out, 2 * w * w, C, TB),
+                                       jnp.float32),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(meta, x2t, sten)
+
+
+def _bwd_impl(dg, x2t, sten, meta_s, coverage, tb, n_bins, cc):
+    C2, N = x2t.shape
+    C = C2 // 2
+    TB = tb
+    P = sten.shape[0]
+    Ps = meta_s.shape[1]
+    w = 2 * n_bins + 1
+    nb_src = N // TB
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Ps,),
+        in_specs=[
+            pl.BlockSpec((1, 2 * w * w, C, TB),
+                         lambda p, m: (m[1, p], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2, TB), lambda p, m: (0, m[2, p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, TB, TB), lambda p, m: (m[0, p], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C2, TB), lambda p, m: (0, m[2, p]),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C2, TB), jnp.float32)],
+    )
+    dx2t = pl.pallas_call(
+        functools.partial(_bwd_kernel, TB=TB, C=C, nbins=n_bins, cc=cc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C2, N), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(meta_s, dg, x2t, sten)
+    if coverage is not None:
+        # source blocks with no panel on this shard are never written
+        cols = jnp.repeat(coverage, TB)[None, :]
+        dx2t = jnp.where(cols > 0, dx2t, 0.0)
+    return dx2t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _echo_panel_grid(x2t, sten, meta, meta_s, coverage, tb, n_bins, cc,
+                     nb_out):
+    return _fwd_impl(x2t, sten, meta, tb, n_bins, cc, nb_out)
+
+
+def _echo_panel_grid_fwd(x2t, sten, meta, meta_s, coverage, tb, n_bins, cc,
+                         nb_out):
+    g = _fwd_impl(x2t, sten, meta, tb, n_bins, cc, nb_out)
+    return g, (x2t, sten, meta, meta_s, coverage)
+
+
+def _echo_panel_grid_bwd(tb, n_bins, cc, nb_out, res, dg):
+    x2t, sten, meta, meta_s, coverage = res
+    dx2t = _bwd_impl(dg, x2t, sten, meta_s, coverage, tb, n_bins, cc)
+    zero_meta = np.zeros(meta.shape, dtype=jax.dtypes.float0)
+    zero_meta_s = np.zeros(meta_s.shape, dtype=jax.dtypes.float0)
+    d_cov = None if coverage is None else jnp.zeros_like(coverage)
+    return dx2t, jnp.zeros_like(sten), zero_meta, zero_meta_s, d_cov
+
+
+_echo_panel_grid.defvjp(_echo_panel_grid_fwd, _echo_panel_grid_bwd)
+
+
+def echo_panel_pallas(x, panel, n_bins: int, cc: int = 8, x_src=None,
+                      n_out=None):
+    """Panel-CSR ECHO through the in-VMEM kernel: (N, C, 2) -> (N, C, dS).
+
+    panel: compressed PanelTable, or a (sten, meta, meta_s, coverage, tb)
+    tuple for the graph-parallel path (coverage masks unwritten source
+    blocks; see _band_panel).  x_src: global source rows (default x)."""
+    from ...precomp.banded import PanelTable
+
+    if isinstance(panel, PanelTable):
+        if not panel.compressed:
+            raise ValueError("echo_panel_pallas needs a compressed "
+                             "PanelTable")
+        sten, meta, meta_s, coverage, TB = (
+            panel.sten, panel.meta, panel.meta_s, None, panel.tb)
+    else:
+        sten, meta, meta_s, coverage, TB = panel
+    x = jnp.asarray(x)
+    N, C = x.shape[0], x.shape[1]
+    n_out = N if n_out is None else n_out
+    x_src = x if x_src is None else jnp.asarray(x_src)
+    w = 2 * n_bins + 1
+    dmap_np, dS = disk_map(n_bins)
+    fold_np = np.zeros((w * w, dS), dtype=np.float32)
+    fold_np[np.arange(w * w), dmap_np] = 1.0
+    fold = jnp.asarray(fold_np)
+
+    # channel-major planar rows: (2C, N_src), re rows then im rows
+    x2t = jnp.concatenate([x_src[..., 0].T, x_src[..., 1].T], axis=0)
+    grid = _echo_panel_grid(x2t, sten, meta, meta_s, coverage, TB, n_bins,
+                            min(cc, C), n_out // TB)
+    # (nb, 2w², C, TB) -> (N, C, 2, w²)
+    grid4 = jnp.transpose(grid, (0, 3, 2, 1)).reshape(n_out, C, 2, w * w)
+    hist = jnp.einsum("ncpu,us->ncps", grid4, fold,
+                      preferred_element_type=jnp.float32)
+    return soft_abs(jnp.moveaxis(hist, 2, 3))

@@ -86,16 +86,24 @@ def trans_field_panel_gp(x, shard: PanelShards, lift_cols, axis_name: str,
 
 
 def echo_panel_gp(x, shard: PanelShards, n_bins: int, axis_name: str,
-                  panel_chunk: int = 8):
+                  panel_chunk: int = 8, impl: str = "pallas"):
     """Shard-local ECHO over panel shards: all_gather the tangent features
     (N × C × 2 — small next to the panel stencil) over the graph axis and
-    splat the shard's panels into local target-block histograms.
+    splat the shard's panels into local target-block histograms.  The
+    backward emits coverage-masked dX over global rows; the gather's AD
+    transpose psum_scatters it onto the owners.
 
     x: (N_local, C, 2).  Returns (N_local, C, dS).
     """
     from ..ops.echo import echo_panel
 
     x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    if impl == "pallas":
+        from ..ops.pallas.echo_panel import echo_panel_pallas
+
+        return echo_panel_pallas(
+            x, (shard.sten, shard.meta, shard.meta_s, shard.coverage,
+                shard.tb), n_bins, x_src=x_full, n_out=x.shape[0])
     return echo_panel(x, (shard.sten, shard.meta, shard.tb), n_bins,
                       panel_chunk=panel_chunk, x_src=x_full,
                       n_out=x.shape[0])

@@ -2,7 +2,11 @@
 
 Variants: onehot (XLA separable one-hot splat, ops/echo.py::echo),
 banded (XLA gather-free windowed, ops/echo.py::echo_banded),
-pallas (in-VMEM kernel, ops/pallas/echo_band.py::echo_banded_pallas).
+panel_pallas (in-VMEM channel-major panel kernel,
+ops/pallas/echo_panel.py::echo_panel_pallas — the 100k hot path, runnable
+at any shape).  The banded in-VMEM kernel was deleted in r4: two
+restructures in, it still crashed the Mosaic compiler at TB=128
+(channel-minor VMEM blowup); docs/KERNEL_NOTES.md.
 
 Device-loop protocol (lax.scan of INNER iters inside one jit) — the honest
 chip step rate, per docs/KERNEL_NOTES.md.
@@ -22,12 +26,13 @@ def main():
 
     from bench import build_synthetic_tables
     from fieldconv_tpu.ops.echo import echo, echo_banded
-    from fieldconv_tpu.ops.pallas.echo_band import echo_banded_pallas
+    from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
+    from fieldconv_tpu.precomp.banded import build_panel_table
     from fieldconv_tpu.precomp.banded import build_compressed_banded
 
     shapes = os.environ.get(
         "ECHO_SHAPES", "corr:5120:12:2,seg:2048:48:3").split(",")
-    variants = os.environ.get("ECHO_VARIANTS", "onehot,banded,pallas").split(",")
+    variants = os.environ.get("ECHO_VARIANTS", "onehot,banded,panel_pallas").split(",")
     mode = os.environ.get("ECHO_MODE", "fwdbwd")      # fwd | fwdbwd
     cc = int(os.environ.get("ECHO_CC", "16"))
     INNER = int(os.environ.get("ECHO_INNER", "10"))
@@ -48,7 +53,9 @@ def main():
         fns = {
             "onehot": lambda x: echo(x, table, nb, d_chunk=128),
             "banded": lambda x: echo_banded(x, comp, nb),
-            "pallas": lambda x: echo_banded_pallas(x, comp, nb, cc=cc),
+            "panel_pallas": lambda x, _pn=jax.device_put(
+                build_panel_table(table_np, tb=128, compressed=True)):
+                echo_panel_pallas(x, _pn, nb, cc=cc),
         }
         for vname in variants:
             fn = fns[vname]

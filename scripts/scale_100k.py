@@ -162,7 +162,8 @@ def run_decomp(panel, table, rng):
     echo_pc = int(os.environ.get("SCALE_ECHO_PC", "8"))
 
     def timeit(name, f, *args):
-        g = jax.jit(jax.grad(f))
+        # panel rides as a jit ARG (closures inline the 5.5GB stencil)
+        g = jax.jit(jax.grad(f, argnums=0))
         t0 = time.time()
         float(jnp.sum(g(*args)))
         compile_s = time.time() - t0
@@ -182,16 +183,25 @@ def run_decomp(panel, table, rng):
         ang, mag = trans_field_panel_contrib(x, pn, lift_cols=(1, 2))
         return jnp.sum(ang * ang) + jnp.sum(mag * mag)
 
-    timeit("lift", lambda x: lift_loss(x, panel), xs)
+    timeit("lift", lift_loss, xs, panel)
 
     xe = jnp.asarray(np.stack([rng.normal(size=(Np, 12)),
                                rng.normal(size=(Np, 12))], -1), jnp.float32)
 
-    def echo_loss(x):
-        h = echo_panel(x, panel, 2, panel_chunk=echo_pc)
+    if int(os.environ.get("SCALE_ECHO_XLA", "1")):
+        def echo_loss(x, pn):
+            h = echo_panel(x, pn, 2, panel_chunk=echo_pc)
+            return jnp.sum(h * h)
+
+        timeit(f"echo_pc{echo_pc}", echo_loss, xe, panel)
+
+    from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
+
+    def echo_pl_loss(x, pn):
+        h = echo_panel_pallas(x, pn, 2)
         return jnp.sum(h * h)
 
-    timeit(f"echo_pc{echo_pc}", echo_loss, xe)
+    timeit("echo_pallas", echo_pl_loss, xe, panel)
 
     feats = jnp.asarray(rng.normal(size=(Np, 256)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(4999, 256)) * 0.01, jnp.float32)

@@ -432,41 +432,6 @@ def test_block_sparse_matches_gather(rng):
                                        rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("n_bins", [
-    pytest.param(2, marks=pytest.mark.slow),
-    pytest.param(3, marks=pytest.mark.slow)])
-def test_echo_pallas_matches_xla(rng, n_bins):
-    """Pallas in-VMEM ECHO == XLA echo (values + grads), interpret mode."""
-    from fieldconv_tpu.precomp.banded import build_compressed_banded
-    from fieldconv_tpu.ops.echo import echo
-    from fieldconv_tpu.ops.pallas.echo_band import echo_banded_pallas
-
-    g = banded_graph(rng, n_vertices=16, tb=8, bw=7)
-    table, _ = tables_for(g, tb=8)
-    comp = build_compressed_banded(table, tb=8)
-    N, C = table.n_pad, 5          # odd C exercises the channel-chunk tail
-    z = random_field(rng, N, C)
-    x = np.stack([z.real, z.imag], -1).astype(np.float32)
-    x[rng.random(N) < 0.2] = 0.0   # origin features: votes must vanish
-    x = jnp.asarray(x)
-
-    want = echo(x, table, n_bins, d_chunk=1024)
-    got = echo_banded_pallas(x, comp, n_bins, cc=2)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=3e-5, rtol=2e-5)
-
-    def loss_ref(x):
-        return jnp.sum(jnp.sin(echo(x, table, n_bins, d_chunk=1024)))
-
-    def loss_pl(x):
-        return jnp.sum(jnp.sin(echo_banded_pallas(x, comp, n_bins, cc=2)))
-
-    g_ref = jax.grad(loss_ref)(x)
-    g_pl = jax.grad(loss_pl)(x)
-    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
-                               atol=3e-5, rtol=2e-5)
-
-
 @pytest.mark.parametrize("compressed,chunk", [
     (False, 1), (True, 1), (True, 4)])
 def test_panel_matches_gather(rng, compressed, chunk):
@@ -599,6 +564,37 @@ def test_echo_panel_matches_xla(rng, n_bins):
     g_ref = jax.grad(loss_ref)(x)
     g_pn = jax.grad(loss_pn)(x)
     np.testing.assert_allclose(np.asarray(g_pn), np.asarray(g_ref),
+                               atol=3e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("n_bins", [2, 3])
+def test_echo_panel_pallas_matches_xla(rng, n_bins):
+    """The in-VMEM panel ECHO kernel (channel-major, by-source backward)
+    == the XLA gather path: values and grads, origin features included."""
+    from fieldconv_tpu.ops.echo import echo
+    from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
+
+    g, table, panel = _panel_setup(rng, compressed=True, B=1, R=3)
+    N, C = table.n_pad, 5
+    z = random_field(rng, N, C)
+    x = np.stack([z.real, z.imag], -1).astype(np.float32)
+    x[rng.random(N) < 0.2] = 0.0
+    x = jnp.asarray(x)
+
+    want = echo(x, table, n_bins, d_chunk=1024)
+    got = echo_panel_pallas(x, panel, n_bins, cc=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=2e-5)
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(echo(x, table, n_bins, d_chunk=1024)))
+
+    def loss_pl(x):
+        return jnp.sum(jnp.sin(echo_panel_pallas(x, panel, n_bins, cc=2)))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_pl = jax.grad(loss_pl)(x)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                atol=3e-5, rtol=2e-5)
 
 
