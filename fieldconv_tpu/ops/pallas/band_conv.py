@@ -1718,15 +1718,25 @@ _band_fused_megaw.defvjp(_band_fused_megaw_fwd, _band_fused_megaw_bwd)
 
 def _panel_pairs(sten_ref, *, R, K, B, compressed, j=0):
     """(k, f_re, f_im) angular factors + radial hats of panel j of a
-    (CH, planes, TB, TB) stencil block."""
+    (CH, planes, TB, TB) stencil block.
+
+    Planes are cast to f32 on read: panel stencils may be stored bf16
+    (cast_panel_sten — halves the dominant DMA stream and the multi-GB
+    HBM footprint; ~1e-3 relative stencil quantisation, the same class
+    as the tiled-VHM truncation measured training-free in
+    docs/KERNEL_NOTES.md).  The cast is a no-op for f32 tables."""
+    f32 = jnp.float32
     if compressed:
-        rv = sten_ref[j, 0]
+        rv = sten_ref[j, 0].astype(f32)
         hats = _hats_from_r(rv, R)
-        pairs = _phasor_pairs(sten_ref[j, 3], sten_ref[j, 4],
-                              sten_ref[j, 1], sten_ref[j, 2], B)
+        pairs = _phasor_pairs(sten_ref[j, 3].astype(f32),
+                              sten_ref[j, 4].astype(f32),
+                              sten_ref[j, 1].astype(f32),
+                              sten_ref[j, 2].astype(f32), B)
     else:
-        hats = sten_ref[j, :R]
-        pairs = [(k, sten_ref[j, R + 2 * k], sten_ref[j, R + 2 * k + 1])
+        hats = sten_ref[j, :R].astype(f32)
+        pairs = [(k, sten_ref[j, R + 2 * k].astype(f32),
+                  sten_ref[j, R + 2 * k + 1].astype(f32))
                  for k in range(K)]
     return hats, pairs
 

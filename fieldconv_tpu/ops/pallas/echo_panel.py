@@ -47,11 +47,12 @@ def _panel_tensors(sten_ref, x_ref, C, c0, c1, nbins):
     sten_ref: (1, 5, TB, TB) compressed panel; x_ref: (2C, TB) planar
     source rows (re rows then im rows).  All (CC, TB_t, TB_s) tensors
     keep the source-slot axis minor (exact 128-lane tiling)."""
-    rv = sten_ref[0, 0]                              # (TBt, TBs)
-    ln_re = rv * sten_ref[0, 1]
-    ln_im = rv * sten_ref[0, 2]
-    wre = sten_ref[0, 3]
-    wim = sten_ref[0, 4]
+    f32 = jnp.float32
+    rv = sten_ref[0, 0].astype(f32)                  # (TBt, TBs)
+    ln_re = rv * sten_ref[0, 1].astype(f32)
+    ln_im = rv * sten_ref[0, 2].astype(f32)
+    wre = sten_ref[0, 3].astype(f32)
+    wim = sten_ref[0, 4].astype(f32)
 
     xre = x_ref[c0:c1, :]                            # (CC, TBs)
     xim = x_ref[C + c0:C + c1, :]

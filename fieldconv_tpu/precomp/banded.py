@@ -599,6 +599,19 @@ def build_panel_table(table: EdgeTable, tb: int = 128,
     )
 
 
+def cast_panel_sten(panel: "PanelTable", dtype=None) -> "PanelTable":
+    """Store the panel stencil at a narrower dtype (default bfloat16).
+
+    Halves the kernel's dominant DMA stream and the multi-GB HBM
+    footprint; the kernel casts planes back to f32 on read
+    (ops/pallas/band_conv.py::_panel_pairs).  Quantisation is ~1e-3
+    relative on radii/phasors/weights — the same error class as the
+    tiled-VHM truncation measured training-free (docs/KERNEL_NOTES.md).
+    """
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    return dataclasses.replace(panel, sten=panel.sten.astype(dtype))
+
+
 def window_blocks(a, nb: int, tb: int, nh: int, halo=None):
     """Window a per-vertex array by padded block shifts: the banded-layout
     replacement for the ``x[src]`` gather.

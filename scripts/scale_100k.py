@@ -81,9 +81,14 @@ def main():
     edges_r, w_r = reorder_precompute(perm, edges, w)
     table = build_edge_table(edges_r, lm, la, w_r, xpc,
                              N, B, R, eps, n_multiple=TB)
-    panel = build_panel_table(table, tb=TB, compressed=True, chunk=CH)
+    compressed = os.environ.get("SCALE_COMPRESSED", "1") != "0"
+    panel = build_panel_table(table, tb=TB, compressed=compressed, chunk=CH)
+    if os.environ.get("SCALE_STEN_BF16", "0") != "0":
+        from fieldconv_tpu.precomp.banded import cast_panel_sten
+
+        panel = cast_panel_sten(panel)
     t_band = time.time() - t0
-    sten_gb = panel.sten.size * 4 / 1e9
+    sten_gb = panel.sten.size * panel.sten.dtype.itemsize / 1e9
     nb = table.n_pad // TB
     print(json.dumps({"stage": "panel_table", "seconds": round(t_band, 1),
                       "chunk": CH, "n_panels": int(panel.n_panels),

@@ -598,6 +598,36 @@ def test_echo_panel_pallas_matches_xla(rng, n_bins):
                                atol=3e-5, rtol=2e-5)
 
 
+def test_panel_bf16_stencil_close(rng):
+    """cast_panel_sten(bf16): conv and ECHO panel paths stay within bf16
+    quantisation of the f32 results (the storage/DMA-halving knob)."""
+    from fieldconv_tpu.ops.echo import echo_panel
+    from fieldconv_tpu.precomp.banded import cast_panel_sten
+
+    g, table, panel = _panel_setup(rng, compressed=True, B=1, R=3)
+    panel_h = cast_panel_sten(panel)
+    assert panel_h.sten.dtype == jnp.bfloat16
+
+    N, C, O, B, R = table.n_pad, 4, 3, 1, 3
+    x = jnp.asarray(np.stack([rng.normal(size=(N, C)),
+                              rng.normal(size=(N, C))], -1), jnp.float32)
+    zon = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+    sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    y32 = field_conv_banded(x, panel, zon, sph, ph, 1)
+    y16 = field_conv_banded(x, panel_h, zon, sph, ph, 1)
+    scale = float(jnp.max(jnp.abs(y32)))
+    assert float(jnp.max(jnp.abs(y16 - y32))) < 2e-2 * scale
+
+    xe = jnp.asarray(np.stack([rng.normal(size=(N, 3)),
+                               rng.normal(size=(N, 3))], -1), jnp.float32)
+    h32 = echo_panel(xe, panel, 2, panel_chunk=5)
+    h16 = echo_panel(xe, panel_h, 2, panel_chunk=5)
+    hscale = float(jnp.max(jnp.abs(h32)))
+    assert float(jnp.max(jnp.abs(h16 - h32))) < 3e-2 * hscale
+
+
 def test_panel_chunk_src_pad_without_tgt_pad(rng):
     """chunk>1 on a graph whose TARGET group counts already divide `chunk`
     but whose SOURCE group counts do not: the builder must append a zero
