@@ -27,6 +27,11 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--banded-tb", type=int, default=None,
                    help="enable the banded Pallas conv path with this block size")
+    p.add_argument("--layout", default=None,
+                   choices=["auto", "banded", "panel"],
+                   help="stencil layout (auto: panel above "
+                        "--panel-threshold padded vertices)")
+    p.add_argument("--panel-threshold", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log", default=None, help="metrics JSONL path")
     p.add_argument("--seed", type=int, default=0)
@@ -70,6 +75,10 @@ def main(argv=None):
             overrides["epochs"] = args.epochs
         if args.checkpoint_dir:
             overrides["checkpoint_dir"] = args.checkpoint_dir
+        if args.layout:
+            overrides["layout"] = args.layout
+        if args.panel_threshold is not None:
+            overrides["panel_threshold"] = args.panel_threshold
         if overrides:
             config = dataclasses.replace(config, **overrides)
         if not args.root:
