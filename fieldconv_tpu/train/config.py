@@ -46,9 +46,11 @@ class ExperimentConfig:
     center: bool = False
     # runtime
     d_chunk: int = 128
-    # ECHO implementation: "onehot" (XLA separable splat) or "banded"
-    # (gather-free block-window path; wins when n_des is small — measured
-    # trade-off in docs/KERNEL_NOTES.md).  "banded" requires banded_tb.
+    # ECHO implementation: "panel" (in-VMEM channel-major panel kernel —
+    # measured fastest at BOTH production shape classes: corr 17.8 ms vs
+    # banded 32.0, seg 46.0 vs onehot 57.3, docs/KERNEL_NOTES.md r4),
+    # "onehot" (XLA separable splat), or "banded" (gather-free block
+    # window).  "panel"/"banded" require banded_tb.
     echo_impl: str = "onehot"
     # Lift (TransField) implementation: "banded" (gather-free, whenever a
     # CompressedBandedTable is available — strictly faster on TPU; the XLA
@@ -75,9 +77,9 @@ class ExperimentConfig:
                 "classification", "segmentation", "correspondence",
                 "matching"):
             raise ValueError(f"unknown task {self.task!r}")
-        if self.echo_impl not in ("onehot", "banded"):
+        if self.echo_impl not in ("onehot", "banded", "panel"):
             raise ValueError(
-                f"echo_impl must be 'onehot' or 'banded', got "
+                f"echo_impl must be 'onehot'/'banded'/'panel', got "
                 f"{self.echo_impl!r}")
         if self.lift_impl not in ("gather", "banded"):
             raise ValueError(
@@ -99,12 +101,13 @@ CLASSIFICATION = ExperimentConfig(
 SEGMENTATION = ExperimentConfig(
     task="segmentation", band_limit=2, n_rings=6, nf=48, epsilon=0.2,
     n_des=48, n_bins=3, sample_n=1024, lr=0.01, epochs=15, smoothing=0.2,
-)   # segmentation.ipynb cells 4, 11, 16
+    echo_impl="panel",
+)   # segmentation.ipynb cells 4, 11, 16; echo routing: KERNEL_NOTES r4
 
 CORRESPONDENCE = ExperimentConfig(
     task="correspondence", band_limit=1, n_rings=3, nf=32, epsilon=0.0425,
     n_des=12, n_bins=2, lr=0.01, lr_decay_epoch=40, lr_decayed=0.001,
-    epochs=60, random_scale=None, center=True, echo_impl="banded",
+    epochs=60, random_scale=None, center=True, echo_impl="panel",
 )   # correspondence.ipynb cells 3, 5 (T.Center), 10, 15
 
 MATCHING = ExperimentConfig(

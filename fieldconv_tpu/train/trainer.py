@@ -62,7 +62,8 @@ jax.tree_util.register_dataclass(
 
 def stack_batch(items, banded_tb: Optional[int] = None,
                 echo_banded: bool = False,
-                panel_tb: Optional[int] = None) -> MeshBatch:
+                panel_tb: Optional[int] = None,
+                echo_panel: bool = False) -> MeshBatch:
     """Stack (pos, table, label) triples sharing bucket shapes.
 
     banded_tb: when set, also build + stack BandedTables (Pallas conv path)
@@ -75,6 +76,11 @@ def stack_batch(items, banded_tb: Optional[int] = None,
     the 100k-capable layout routing EVERY op through the panel paths
     (mutually exclusive with banded_tb; vertex order should be block-local,
     data.base.process_mesh(order='kd')).
+    echo_panel: MIXED mode (requires banded_tb): banded tables for the
+    convs plus per-mesh PanelTables routing ECHO and the lift through the
+    panel kernels — the measured-optimal ECHO at BOTH production shape
+    classes (corr 17.8 ms vs banded 32.0; seg 46.0 vs onehot 57.3;
+    docs/KERNEL_NOTES.md r4).
     """
     poss, tables, labels = zip(*items)
     if panel_tb is not None:
@@ -116,12 +122,21 @@ def stack_batch(items, banded_tb: Optional[int] = None,
             tb=banded_tb, nh=nh, n_pad=cs[0].n_pad,
             band_limit=t0.band_limit, n_rings=t0.n_rings,
         )
+    panels = None
+    if echo_panel:
+        if banded_tb is None:
+            raise ValueError("echo_panel requires banded_tb")
+        if echo_banded:
+            raise ValueError("pass echo_banded or echo_panel, not both")
+        panels = [build_panel_table(t, tb=banded_tb, compressed=True)
+                  for t in tables]
     return MeshBatch(
         pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
         table=stacked,
         labels=jnp.stack([jnp.asarray(l) for l in labels]),
         banded=banded,
         comp=comp,
+        panel=panels,
     )
 
 
@@ -238,14 +253,20 @@ def make_optimizer(config: ExperimentConfig, steps_per_epoch: int = 1):
 def batched_apply(net, params, batch: MeshBatch, rngs=None, **kw):
     """vmap the model over the mesh batch axis (params broadcast).
 
-    Panel-layout batches unroll the batch instead (per-mesh panel counts
-    differ, and the scalar-prefetch panel kernel is not vmapped); the
-    panel regime is large meshes at batch 1, so the unroll is free."""
+    Panel-carrying batches unroll the batch instead (per-mesh panel
+    counts differ, and the scalar-prefetch panel kernel is not vmapped).
+    Pure-panel batches (stack_batch(panel_tb=...)) route EVERY op through
+    panels; MIXED batches (banded_tb + echo_panel) keep the banded conv
+    kernel and route ECHO + lift through the panel kernels."""
     if batch.panel is not None:
         outs = []
         for i, pn in enumerate(batch.panel):
             ti = jax.tree.map(lambda x: x[i], batch.table)
-            outs.append(net.apply(params, batch.pos[i], ti, pn, pn,
+            if batch.banded is not None:
+                bi = jax.tree.map(lambda x: x[i], batch.banded)
+            else:
+                bi = pn
+            outs.append(net.apply(params, batch.pos[i], ti, bi, pn,
                                   rngs=rngs, **kw))
         return jnp.stack(outs)
     if batch.comp is not None:

@@ -73,6 +73,30 @@ def test_segmentation_comp_echo_matches(rng):
                                atol=5e-5, rtol=5e-5)
 
 
+def test_segmentation_mixed_banded_conv_panel_echo(rng):
+    """MIXED batch mode (stack_batch(banded_tb, echo_panel=True)): banded
+    Pallas convs + panel-kernel ECHO/lift == the XLA path — the
+    measured-optimal routing at production shapes (KERNEL_NOTES r4)."""
+    from fieldconv_tpu.models import SegmentationNet
+    from fieldconv_tpu.precomp.banded import PanelTable
+
+    g = banded_graph(rng, n_vertices=64, tb=8, bw=7)
+    table, banded = tables_for(g, tb=8)
+    pos = np.asarray(rng.normal(size=(table.n_pad, 3)), np.float32)
+    net = SegmentationNet(n_classes=4, nf=6, n_des=6, n_bins=2,
+                          band_limit=2, n_rings=6)
+    params = net.init(jax.random.key(0), pos, table)
+    batch = stack_batch([(pos, table, np.zeros(table.n_pad, np.int32))],
+                        banded_tb=8, echo_panel=True)
+    assert batch.banded is not None
+    assert isinstance(batch.panel, list) and \
+        isinstance(batch.panel[0], PanelTable)
+    y_mixed = batched_apply(net, params, batch)
+    y_ref = net.apply(params, pos, table)
+    np.testing.assert_allclose(np.asarray(y_mixed[0]), np.asarray(y_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
 def test_correspondence_panel_full_model_matches_xla(rng):
     """The full correspondence-style net (Lift + 8×ResNet + 4 meta-res +
     ECHOBlock + head) through the panel-CSR layout for EVERY op — convs
