@@ -287,11 +287,12 @@ class ECHO(lnn.Module):
 
             halo = _exchange_halos(x, comp.nh * comp.tb, self.axis_name)
             return echo_ops.echo_banded(x, comp, self.n_bins, halo=halo)
-        if use_banded:
-            if comp is None:
-                raise ValueError("echo impl 'banded' requires a "
-                                 "CompressedBandedTable")
+        if use_banded and comp is not None:
             return echo_ops.echo_banded(x, comp, self.n_bins)
+        # no block table available (e.g. net.init before batches exist, or
+        # impl='panel'/'banded' on a plain-table call): the XLA gather path
+        # is output-identical — ECHO is parameter-free, so init through it
+        # builds the same params
         return echo_ops.echo(x, table, self.n_bins, d_chunk=self.d_chunk)
 
 
