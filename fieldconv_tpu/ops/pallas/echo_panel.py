@@ -87,20 +87,29 @@ def _panel_tensors(sten_ref, x_ref, C, c0, c1, nbins):
                 w0=w0, w1=w1, w2=w2, w3=w3, v_re=v_re, v_im=v_im)
 
 
-def _cell_weight(t, q, nbins, w):
-    """Cell mask weight for grid cell q = a·w + b (a, b from the traced
-    q: one compiled body serves every cell)."""
-    a_i = q // w
-    b_i = q % w
-    va = (a_i - nbins).astype(jnp.float32)
-    vb = (b_i - nbins).astype(jnp.float32)
+def _b_factors(t, nbins, w):
+    """Per-b hoisted mask products: QF_b = w0·BF_b + w3·BC_b and
+    QC_b = w2·BF_b + w1·BC_b, so each cell (a, b) only needs
+    W = AF_a·QF_b + AC_a·QC_b — ~2× fewer VPU passes than rebuilding the
+    four masks per cell.  Returned as python lists (the b loop stays
+    STATICALLY unrolled inside the a-fori body: no dynamic value
+    indexing)."""
+    qf, qc = [], []
+    for b_i in range(w):
+        vb = float(b_i - nbins)
+        BF = (t["pF2"] == vb).astype(jnp.float32)
+        BC = (t["pC2"] == vb).astype(jnp.float32)
+        qf.append(t["w0"] * BF + t["w3"] * BC)
+        qc.append(t["w2"] * BF + t["w1"] * BC)
+    return qf, qc
+
+
+def _a_masks(t, a, nbins):
+    """AF/AC for row a of the grid (a traced: one body serves all rows)."""
+    va = (a - nbins).astype(jnp.float32)
     AF = (t["pF1"] == va).astype(jnp.float32)
     AC = (t["pC1"] == va).astype(jnp.float32)
-    BF = (t["pF2"] == vb).astype(jnp.float32)
-    BC = (t["pC2"] == vb).astype(jnp.float32)
-    return (AF, AC, BF, BC,
-            AF * (t["w0"] * BF + t["w3"] * BC)
-            + AC * (t["w2"] * BF + t["w1"] * BC))
+    return AF, AC
 
 
 def _fwd_kernel(meta_ref, x_ref, sten_ref, out_ref, *, TB, C, nbins, cc):
@@ -109,25 +118,29 @@ def _fwd_kernel(meta_ref, x_ref, sten_ref, out_ref, *, TB, C, nbins, cc):
     first = meta_ref[2, p] == 1
     for c0, c1 in _chunk_cols(C, cc):
         t = _panel_tensors(sten_ref, x_ref, C, c0, c1, nbins)
+        qf, qc = _b_factors(t, nbins, w)
 
-        def cell(q, _):
-            _, _, _, _, W = _cell_weight(t, q, nbins, w)
-            se = jnp.sum(W * t["v_re"], axis=2)          # (CC, TBt)
-            si = jnp.sum(W * t["v_im"], axis=2)
+        def row(a, _):
+            AF, AC = _a_masks(t, a, nbins)
+            for b_i in range(w):
+                W = AF * qf[b_i] + AC * qc[b_i]
+                se = jnp.sum(W * t["v_re"], axis=2)      # (CC, TBt)
+                si = jnp.sum(W * t["v_im"], axis=2)
+                q = a * w + b_i
 
-            @pl.when(first)
-            def _():
-                out_ref[0, q, c0:c1, :] = se
-                out_ref[0, w * w + q, c0:c1, :] = si
+                @pl.when(first)
+                def _(se=se, si=si, q=q):
+                    out_ref[0, q, c0:c1, :] = se
+                    out_ref[0, w * w + q, c0:c1, :] = si
 
-            @pl.when(jnp.logical_not(first))
-            def _():
-                out_ref[0, q, c0:c1, :] += se
-                out_ref[0, w * w + q, c0:c1, :] += si
+                @pl.when(jnp.logical_not(first))
+                def _(se=se, si=si, q=q):
+                    out_ref[0, q, c0:c1, :] += se
+                    out_ref[0, w * w + q, c0:c1, :] += si
 
             return 0
 
-        jax.lax.fori_loop(0, w * w, cell, 0)
+        jax.lax.fori_loop(0, w, row, 0)
 
 
 def _bwd_kernel(meta_s_ref, dg_ref, x_ref, sten_ref, dx_ref, dx_acc,
@@ -144,21 +157,41 @@ def _bwd_kernel(meta_s_ref, dg_ref, x_ref, sten_ref, dx_ref, dx_acc,
     for c0, c1 in _chunk_cols(C, cc):
         t = _panel_tensors(sten_ref, x_ref, C, c0, c1, nbins)
 
-        def cell(q, carry):
-            dv_re, dv_im, dw0, dw1, dw2, dw3 = carry
-            AF, AC, BF, BC, W = _cell_weight(t, q, nbins, w)
-            dgr = dg_ref[0, q, c0:c1, :][:, :, None]     # (CC, TBt, 1)
-            dgi = dg_ref[0, w * w + q, c0:c1, :][:, :, None]
-            dv_re = dv_re + W * dgr
-            dv_im = dv_im + W * dgi
-            dW = t["v_re"] * dgr + t["v_im"] * dgi
-            return (dv_re, dv_im,
-                    dw0 + (AF * BF) * dW, dw1 + (AC * BC) * dW,
-                    dw2 + (AC * BF) * dW, dw3 + (AF * BC) * dW)
-
+        qf, qc = _b_factors(t, nbins, w)
         zero = jnp.zeros_like(t["v_re"])
-        dv_re, dv_im, dw0, dw1, dw2, dw3 = jax.lax.fori_loop(
-            0, w * w, cell, (zero, zero, zero, zero, zero, zero))
+
+        def row(a, carry):
+            dv_re, dv_im = carry[0], carry[1]
+            dqf = list(carry[2])
+            dqc = list(carry[3])
+            AF, AC = _a_masks(t, a, nbins)
+            for b_i in range(w):
+                W = AF * qf[b_i] + AC * qc[b_i]
+                q = a * w + b_i
+                dgr = dg_ref[0, q, c0:c1, :][:, :, None]     # (CC, TBt, 1)
+                dgi = dg_ref[0, w * w + q, c0:c1, :][:, :, None]
+                dv_re = dv_re + W * dgr
+                dv_im = dv_im + W * dgi
+                dW = t["v_re"] * dgr + t["v_im"] * dgi
+                dqf[b_i] = dqf[b_i] + AF * dW
+                dqc[b_i] = dqc[b_i] + AC * dW
+            return (dv_re, dv_im, tuple(dqf), tuple(dqc))
+
+        dv_re, dv_im, dqf, dqc = jax.lax.fori_loop(
+            0, w, row,
+            (zero, zero, tuple(zero for _ in range(w)),
+             tuple(zero for _ in range(w))))
+
+        # QF_b = w0·BF_b + w3·BC_b, QC_b = w2·BF_b + w1·BC_b -> dw0..dw3
+        dw0 = dw1 = dw2 = dw3 = zero
+        for b_i in range(w):
+            vb = float(b_i - nbins)
+            BF = (t["pF2"] == vb).astype(jnp.float32)
+            BC = (t["pC2"] == vb).astype(jnp.float32)
+            dw0 = dw0 + BF * dqf[b_i]
+            dw3 = dw3 + BC * dqf[b_i]
+            dw2 = dw2 + BF * dqc[b_i]
+            dw1 = dw1 + BC * dqc[b_i]
 
         e1C = t["pC1"] - t["p1"]
         e1F = t["p1"] - t["pF1"]
