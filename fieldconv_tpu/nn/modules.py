@@ -259,11 +259,15 @@ class ECHO(lnn.Module):
     axis_name: Optional[str] = None
 
     def __call__(self, x, table: EdgeTable, comp=None):
-        from ..precomp.banded import PanelTable
+        from ..precomp.banded import CompactPanelTable, PanelTable
 
-        if isinstance(comp, PanelTable) and self.axis_name is None:
-            # 100k-capable panel-CSR path
-            if self.panel_impl == "pallas":
+        if isinstance(comp, (PanelTable, CompactPanelTable)) \
+                and self.axis_name is None:
+            # 100k-capable panel-CSR path; the compact layout (gathered
+            # source columns, ~3x less dead-slot work at 163k) only exists
+            # for the Pallas kernel
+            if self.panel_impl == "pallas" \
+                    or isinstance(comp, CompactPanelTable):
                 from ..ops.pallas.echo_panel import echo_panel_pallas
 
                 return echo_panel_pallas(x, comp, self.n_bins)

@@ -598,6 +598,44 @@ def test_echo_panel_pallas_matches_xla(rng, n_bins):
                                atol=3e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("n_bins", [2, 3])
+def test_echo_compact_matches_xla(rng, n_bins):
+    """The compacted-panel ECHO kernel (gathered source columns, per-panel
+    disjoint backward + segment_sum fold) == the XLA gather path: values
+    and grads, origin features included."""
+    from fieldconv_tpu.ops.echo import echo
+    from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
+    from fieldconv_tpu.precomp.banded import build_compact_panel_table
+
+    g, table, panel = _panel_setup(rng, compressed=True, B=1, R=3)
+    compact = build_compact_panel_table(table, tb=8, ts=8)
+    # compaction is real on this fixture: fewer slot-pairs than the
+    # block-pair panel layout
+    assert compact.sten.shape[0] * 8 * 8 \
+        < panel.sten.shape[0] * panel.tb * panel.tb
+    N, C = table.n_pad, 5
+    z = random_field(rng, N, C)
+    x = np.stack([z.real, z.imag], -1).astype(np.float32)
+    x[rng.random(N) < 0.2] = 0.0
+    x = jnp.asarray(x)
+
+    want = echo(x, table, n_bins, d_chunk=1024)
+    got = echo_panel_pallas(x, compact, n_bins, cc=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=2e-5)
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(echo(x, table, n_bins, d_chunk=1024)))
+
+    def loss_cp(x):
+        return jnp.sum(jnp.sin(echo_panel_pallas(x, compact, n_bins, cc=2)))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_cp = jax.grad(loss_cp)(x)
+    np.testing.assert_allclose(np.asarray(g_cp), np.asarray(g_ref),
+                               atol=3e-5, rtol=2e-5)
+
+
 def test_panel_bf16_stencil_close(rng):
     """cast_panel_sten(bf16): conv and ECHO panel paths stay within bf16
     quantisation of the f32 results (the storage/DMA-halving knob)."""
