@@ -15,8 +15,11 @@ are recombined as ρ·e^{iφ} and summed over input channels (:9-24).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..precomp.edge_table import EdgeTable
 from ..utils.complexops import (
@@ -300,15 +303,167 @@ def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
     return ang.reshape(N, C, R, 2), mag.reshape(N, C, R)
 
 
+def _compact_lift_chunks(sten, src_idx, R, B, k1, pc):
+    """Static per-chunk slicing plan for the compact lift: (n_main, tail)."""
+    P = sten.shape[0]
+    return P // pc, P % pc
+
+
+def _compact_lift_stencils(sten_c, R, B, k1):
+    """Per-chunk stencil-only factors: s1 (R, cb, TB, TS, 2), sm
+    (R, cb, TB, TS) — shared by the forward contraction and its hand-rolled
+    transpose (the layout is linear in x)."""
+    from .pallas.band_conv import _hats_from_r
+
+    rv = sten_c[:, 0].astype(jnp.float32)
+    hats = _hats_from_r(rv, R)                       # (R, cb, TB, TS)
+    pr, pi = (sten_c[:, 1].astype(jnp.float32),
+              sten_c[:, 2].astype(jnp.float32))
+    wr, wi = (sten_c[:, 3].astype(jnp.float32),
+              sten_c[:, 4].astype(jnp.float32))
+    e1r, e1i = _phasor_power(pr, pi, k1 - B)
+    f1 = jnp.stack([wr * e1r - wi * e1i,
+                    wr * e1i + wi * e1r], -1)        # (cb, TB, TS, 2)
+    wmag = jnp.sqrt(wr * wr + wi * wi)
+    s1 = hats[..., None] * f1[None]                  # (R, cb, TB, TS, 2)
+    sm = hats * wmag[None]                           # (R, cb, TB, TS)
+    return s1, sm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _compact_lift_agg(x, sten, meta, src_idx, statics):
+    part, ssum, magp = _compact_lift_fwd_parts(x, sten, meta, src_idx,
+                                               statics)
+    return part, ssum, magp
+
+
+def _compact_lift_fwd_parts(x, sten, meta, src_idx, statics):
+    R, B, k1, pc, TB = statics
+    P = sten.shape[0]
+    C = x.shape[1]
+
+    def chunk_arrays(sten_c, idx_c):
+        s1, sm = _compact_lift_stencils(sten_c, R, B, k1)
+        xs = jnp.take(x, idx_c.reshape(-1), axis=0).reshape(
+            idx_c.shape[0], idx_c.shape[1], C)       # (cb, TS, C)
+        part = jnp.einsum("rptsj,psc->ptcrj", s1, xs,
+                          preferred_element_type=jnp.float32)
+        ssum = jnp.transpose(jnp.sum(s1, axis=3), (1, 2, 0, 3))
+        magp = jnp.einsum("rpts,psc->ptcr", sm, xs,
+                          preferred_element_type=jnp.float32)
+        return part, ssum, magp
+
+    def body(carry, i):
+        sten_c = jax.lax.dynamic_slice_in_dim(sten, i * pc, pc, axis=0)
+        idx_c = jax.lax.dynamic_slice_in_dim(src_idx, i * pc, pc, axis=0)
+        return (), chunk_arrays(sten_c, idx_c)
+
+    n_main, tail = P // pc, P % pc
+    _, (part, ssum, magp) = jax.lax.scan(
+        body, (), jnp.arange(n_main, dtype=jnp.int32))
+    cb = part.shape[2:]
+    part = part.reshape(n_main * pc, *cb)
+    ssum = ssum.reshape(n_main * pc, *ssum.shape[2:])
+    magp = magp.reshape(n_main * pc, *magp.shape[2:])
+    if tail:
+        n0 = n_main * pc
+        pt, st, mt = chunk_arrays(sten[n0:], src_idx[n0:])
+        part = jnp.concatenate([part, pt])
+        ssum = jnp.concatenate([ssum, st])
+        magp = jnp.concatenate([magp, mt])
+    return part, ssum, magp
+
+
+def _compact_lift_agg_fwd(x, sten, meta, src_idx, statics):
+    out = _compact_lift_fwd_parts(x, sten, meta, src_idx, statics)
+    return out, (x, sten, meta, src_idx)
+
+
+def _compact_lift_agg_bwd(statics, res, cts):
+    """Transpose of the per-panel contraction: d_xs = s1ᵀ·d_part + smᵀ·
+    d_magp per chunk, folded onto vertices by one segment_sum — no
+    scatter (the take's autodiff transpose would be an XLA scatter-add
+    over P·TS rows)."""
+    x, sten, meta, src_idx = res
+    R, B, k1, pc, TB = statics
+    d_part, d_ssum, d_magp = cts   # d_ssum is stencil-only: ignored for dx
+    P = sten.shape[0]
+    C = x.shape[1]
+    TS = src_idx.shape[1]
+
+    def chunk_dxs(sten_c, dp_c, dm_c):
+        s1, sm = _compact_lift_stencils(sten_c, R, B, k1)
+        d_xs = jnp.einsum("rptsj,ptcrj->psc", s1, dp_c,
+                          preferred_element_type=jnp.float32)
+        d_xs = d_xs + jnp.einsum("rpts,ptcr->psc", sm, dm_c,
+                                 preferred_element_type=jnp.float32)
+        return d_xs
+
+    def body(carry, i):
+        sten_c = jax.lax.dynamic_slice_in_dim(sten, i * pc, pc, axis=0)
+        dp_c = jax.lax.dynamic_slice_in_dim(d_part, i * pc, pc, axis=0)
+        dm_c = jax.lax.dynamic_slice_in_dim(d_magp, i * pc, pc, axis=0)
+        return (), chunk_dxs(sten_c, dp_c, dm_c)
+
+    n_main, tail = P // pc, P % pc
+    _, d_xs = jax.lax.scan(body, (), jnp.arange(n_main, dtype=jnp.int32))
+    d_xs = d_xs.reshape(n_main * pc, TS, C)
+    if tail:
+        n0 = n_main * pc
+        d_xs = jnp.concatenate(
+            [d_xs, chunk_dxs(sten[n0:], d_part[n0:], d_magp[n0:])])
+    dx = jax.ops.segment_sum(d_xs.reshape(P * TS, C),
+                             src_idx.reshape(-1), num_segments=x.shape[0])
+    zero_meta = np.zeros(meta.shape, dtype=jax.dtypes.float0)
+    zero_idx = np.zeros(src_idx.shape, dtype=jax.dtypes.float0)
+    return dx, jnp.zeros_like(sten), zero_meta, zero_idx
+
+
+_compact_lift_agg.defvjp(_compact_lift_agg_fwd, _compact_lift_agg_bwd)
+
+
+def trans_field_compact_contrib(x, compact, lift_cols=(0, 1),
+                                panel_chunk: int = 256):
+    """TransField aggregation over the CompactPanelTable layout — same math
+    as :func:`trans_field_panel_contrib` (reference nn/trans_field.py:
+    104-110) but with each panel's source columns gathered per
+    ``src_idx`` instead of read as whole blocks: ~3x fewer dead slots at
+    163k vertices.  Forward gathers rows; backward folds per-panel column
+    grads with one segment_sum (hand-rolled VJP — XLA's gather transpose
+    is a scatter-add)."""
+    x = jnp.asarray(x)
+    N, C = x.shape
+    TB = compact.tb
+    nb_out = N // TB
+    R, B = compact.n_rings, compact.band_limit
+    k0, k1 = lift_cols
+    pc = min(panel_chunk, compact.n_panels)
+
+    statics = (R, B, k1, pc, TB)
+    part, ssum, magp = _compact_lift_agg(x, compact.sten, compact.meta,
+                                         compact.src_idx, statics)
+    meta0 = compact.meta[0]
+    seg = jax.ops.segment_sum(part, meta0, num_segments=nb_out)
+    ssum_seg = jax.ops.segment_sum(ssum, meta0, num_segments=nb_out)
+    mag = jax.ops.segment_sum(magp, meta0, num_segments=nb_out)
+
+    xt = x.reshape(nb_out, TB, C)
+    ang = -(seg - xt[..., None, None] * ssum_seg[:, :, None])
+    return ang.reshape(N, C, R, 2), mag.reshape(N, C, R)
+
+
 def trans_field(x, table, zonal_ang, zonal_mag, phase, ftype, lift_cols=(0, 1),
                 d_chunk: int = 128, comp=None, halo=None):
     """TransField lift.  When ``comp`` is given the aggregation runs
     gather-free: a CompressedBandedTable routes to the banded block-window
-    path, a PanelTable to the panel-CSR path (100k-capable); otherwise the
+    path, a PanelTable to the panel-CSR path (100k-capable), a
+    CompactPanelTable to the compacted-column variant; otherwise the
     padded-CSR gather path is used."""
-    from ..precomp.banded import PanelTable
+    from ..precomp.banded import CompactPanelTable, PanelTable
 
-    if isinstance(comp, PanelTable):
+    if isinstance(comp, CompactPanelTable):
+        ang, mag = trans_field_compact_contrib(x, comp, lift_cols=lift_cols)
+    elif isinstance(comp, PanelTable):
         ang, mag = trans_field_panel_contrib(x, comp, lift_cols=lift_cols)
     elif comp is not None:
         ang, mag = trans_field_banded_contrib(x, comp, lift_cols=lift_cols,

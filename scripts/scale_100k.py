@@ -95,6 +95,21 @@ def main():
                       "panels_per_block": round(panel.n_panels / nb, 1),
                       "stencil_gb": round(sten_gb, 2)}), flush=True)
 
+    compact = None
+    if os.environ.get("SCALE_COMPACT_TABLE", "1") != "0":
+        from fieldconv_tpu.precomp.banded import (build_compact_panel_table,
+                                                  cast_panel_sten)
+
+        t0 = time.time()
+        compact = build_compact_panel_table(table, tb=TB)
+        if os.environ.get("SCALE_STEN_BF16", "0") != "0":
+            compact = cast_panel_sten(compact)
+        cgb = compact.sten.size * compact.sten.dtype.itemsize / 1e9
+        print(json.dumps({
+            "stage": "compact_table", "seconds": round(time.time() - t0, 1),
+            "n_panels": int(compact.n_panels),
+            "stencil_gb": round(cgb, 2)}), flush=True)
+
     # on-chip step
     import jax
     import jax.numpy as jnp
@@ -146,22 +161,24 @@ def main():
                           "medges_per_s": round(edges_n / dt / 1e6)}),
               flush=True)
 
+    compact_d = jax.device_put(compact) if compact is not None else None
     if int(os.environ.get("SCALE_MODEL", "0")):
-        run_full_model(panel_d, table, edges_n, rng)
+        run_full_model(panel_d, table, edges_n, rng, compact=compact_d)
     if int(os.environ.get("SCALE_DECOMP", "0")):
-        run_decomp(panel_d, table, rng)
+        run_decomp(panel_d, table, rng, compact=compact_d)
     print(json.dumps({"stage": "total",
                       "seconds": round(time.time() - t_all, 1)}), flush=True)
 
 
-def run_decomp(panel, table, rng):
+def run_decomp(panel, table, rng, compact=None):
     """Time the non-conv panel ops standalone at 163k (fwd+bwd): where the
     full-model step's time goes beyond the 17 x 74 ms convs."""
     import jax
     import jax.numpy as jnp
 
     from fieldconv_tpu.ops.echo import echo_panel
-    from fieldconv_tpu.ops.trans_field import trans_field_panel_contrib
+    from fieldconv_tpu.ops.trans_field import (trans_field_compact_contrib,
+                                               trans_field_panel_contrib)
 
     Np = table.n_pad
     echo_pc = int(os.environ.get("SCALE_ECHO_PC", "8"))
@@ -190,6 +207,13 @@ def run_decomp(panel, table, rng):
 
     timeit("lift", lift_loss, xs, panel)
 
+    if compact is not None:
+        def lift_loss_cp(x, cp):
+            ang, mag = trans_field_compact_contrib(x, cp, lift_cols=(1, 2))
+            return jnp.sum(ang * ang) + jnp.sum(mag * mag)
+
+        timeit("lift_compact", lift_loss_cp, xs, compact)
+
     xe = jnp.asarray(np.stack([rng.normal(size=(Np, 12)),
                                rng.normal(size=(Np, 12))], -1), jnp.float32)
 
@@ -207,6 +231,15 @@ def run_decomp(panel, table, rng):
         return jnp.sum(h * h)
 
     timeit("echo_pallas", echo_pl_loss, xe, panel)
+
+    if compact is not None:
+        cc = int(os.environ.get("SCALE_ECHO_CC", "8"))
+
+        def echo_cp_loss(x, cp):
+            h = echo_panel_pallas(x, cp, 2, cc=cc)
+            return jnp.sum(h * h)
+
+        timeit(f"echo_compact_cc{cc}", echo_cp_loss, xe, compact)
 
     feats = jnp.asarray(rng.normal(size=(Np, 256)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(4999, 256)) * 0.01, jnp.float32)
@@ -228,7 +261,7 @@ def run_decomp(panel, table, rng):
     timeit("head", head_loss, feats)
 
 
-def run_full_model(panel, table, edges_n, rng):
+def run_full_model(panel, table, edges_n, rng, compact=None):
     """The VERDICT r3 #1 config: the full correspondence-style net
     (correspondence.ipynb cell 8 — Lift(3→16) + 8×FCResNet(nf 32) + 4 meta
     residuals + ECHOBlock(n_des 12, n_bins 2) + dropout(.5) + 4999-way
@@ -254,12 +287,15 @@ def run_full_model(panel, table, edges_n, rng):
                             band_limit=table.band_limit,
                             n_rings=table.n_rings,
                             echo_panel_chunk=echo_pc, remat_blocks=True)
+    # lift + ECHO run on the compacted layout when available (3x less
+    # dead-slot work); the convs stay on the block-panel table
+    comp_tbl = panel if compact is None else compact
     t0 = time.time()
     # NOTE: the panel table rides as a jit ARGUMENT everywhere (closures
     # inline the 5.5GB stencil as a stablehlo constant — module blowup)
     params = jax.jit(
-        lambda k, pn: net.init(k, pos, None, pn, pn))(jax.random.key(0),
-                                                      panel)
+        lambda k, pn, cp: net.init(k, pos, None, pn, cp))(jax.random.key(0),
+                                                          panel, comp_tbl)
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
     print(json.dumps({"stage": "model_init", "params": n_params,
                       "seconds": round(time.time() - t0, 1)}), flush=True)
@@ -269,8 +305,8 @@ def run_full_model(panel, table, edges_n, rng):
     opt_state = jax.jit(opt.init)(params)
     HCH = 8192                       # head row-chunk: (HCH, 4999) ≈ 163 MB
 
-    def loss_fn(params, key, pos, panel):
-        feats = feat_net.apply(params, pos, None, panel, panel,
+    def loss_fn(params, key, pos, panel, comp_tbl):
+        feats = feat_net.apply(params, pos, None, panel, comp_tbl,
                                deterministic=False, rngs={"dropout": key})
         w = params["params"]["lin2"]["weight"]
         b = params["params"]["lin2"]["bias"]
@@ -290,15 +326,17 @@ def run_full_model(panel, table, edges_n, rng):
         return jnp.sum(per) / Np
 
     @jax.jit
-    def train_step(params, opt_state, key, pos, panel):
-        l, grads = jax.value_and_grad(loss_fn)(params, key, pos, panel)
+    def train_step(params, opt_state, key, pos, panel, comp_tbl):
+        l, grads = jax.value_and_grad(loss_fn)(params, key, pos, panel,
+                                               comp_tbl)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
     key = jax.random.key(1)
     t0 = time.time()
     key, sub = jax.random.split(key)
-    params, opt_state, l = train_step(params, opt_state, sub, pos, panel)
+    params, opt_state, l = train_step(params, opt_state, sub, pos, panel,
+                                      comp_tbl)
     l0 = float(l)
     print(json.dumps({"stage": "model_compile+first",
                       "seconds": round(time.time() - t0, 1),
@@ -308,7 +346,7 @@ def run_full_model(panel, table, edges_n, rng):
         key, sub = jax.random.split(key)
         t0 = time.time()
         params, opt_state, l = train_step(params, opt_state, sub, pos,
-                                          panel)
+                                          panel, comp_tbl)
         lf = float(l)              # readback = completion barrier
         ts.append(time.time() - t0)
     dt = sorted(ts)[len(ts) // 2]
@@ -320,6 +358,7 @@ def run_full_model(panel, table, edges_n, rng):
         "ms_per_step": round(dt * 1e3, 1),
         "conv_medges_per_s": round(n_convs * edges_n / dt / 1e6),
         "loss_first": round(l0, 4), "loss_last": round(lf, 4),
+        "comp_layout": "compact" if compact is not None else "panel",
         "echo_panel_chunk": echo_pc}), flush=True)
 
 
