@@ -49,8 +49,10 @@ class ExperimentConfig:
     # ECHO implementation: "panel" (in-VMEM channel-major panel kernel —
     # measured fastest at BOTH production shape classes: corr 17.8 ms vs
     # banded 32.0, seg 46.0 vs onehot 57.3, docs/KERNEL_NOTES.md r4),
-    # "onehot" (XLA separable splat), or "banded" (gather-free block
-    # window).  "panel"/"banded" require banded_tb.
+    # "compact" (same kernel on the compacted-column panel layout —
+    # ~3x less dead-slot work at 100k+ scale), "onehot" (XLA separable
+    # splat), or "banded" (gather-free block window).
+    # "panel"/"compact"/"banded" require banded_tb.
     echo_impl: str = "onehot"
     # Lift (TransField) implementation: "banded" (gather-free, whenever a
     # CompressedBandedTable is available — strictly faster on TPU; the XLA
@@ -77,10 +79,10 @@ class ExperimentConfig:
                 "classification", "segmentation", "correspondence",
                 "matching"):
             raise ValueError(f"unknown task {self.task!r}")
-        if self.echo_impl not in ("onehot", "banded", "panel"):
+        if self.echo_impl not in ("onehot", "banded", "panel", "compact"):
             raise ValueError(
-                f"echo_impl must be 'onehot'/'banded'/'panel', got "
-                f"{self.echo_impl!r}")
+                f"echo_impl must be 'onehot'/'banded'/'panel'/'compact', "
+                f"got {self.echo_impl!r}")
         if self.lift_impl not in ("gather", "banded"):
             raise ValueError(
                 f"lift_impl must be 'gather' or 'banded', got "

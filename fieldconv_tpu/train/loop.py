@@ -72,14 +72,15 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
     banded_tb also serves as the panel target-block size when the layout
     resolves to 'panel' (config.layout / panel_threshold)."""
     echo_task = config.task in ("segmentation", "correspondence")
-    if config.echo_impl == "panel" and echo_task and banded_tb is None:
-        # graceful: the panel ECHO kernel needs block tables; without a
-        # block size the XLA one-hot path is the correct fallback (the
-        # presets default to 'panel' as the measured optimum)
+    if config.echo_impl in ("panel", "compact") and echo_task \
+            and banded_tb is None:
+        # graceful: the panel/compact ECHO kernels need block tables;
+        # without a block size the XLA one-hot path is the correct
+        # fallback (the presets default to the measured optimum)
         import warnings
 
-        warnings.warn("echo_impl='panel' needs banded_tb; falling back to "
-                      "the XLA one-hot ECHO for this run")
+        warnings.warn(f"echo_impl={config.echo_impl!r} needs banded_tb; "
+                      "falling back to the XLA one-hot ECHO for this run")
         config = dataclasses.replace(config, echo_impl="onehot")
     if config.echo_impl == "banded" and echo_task and banded_tb is None:
         raise ValueError(
@@ -90,14 +91,17 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
         n_pad, d_slots = shared_bucket(records)
     panel = (banded_tb is not None
              and resolve_layout(config, n_pad) == "panel")
-    # mixed mode: banded convs + panel ECHO/lift (the measured-optimal
-    # routing at production shapes, docs/KERNEL_NOTES.md r4)
+    # mixed mode: banded convs + panel/compact ECHO/lift (the
+    # measured-optimal routing at production shapes, KERNEL_NOTES.md r4)
     echo_panel = (banded_tb is not None and not panel
                   and config.echo_impl == "panel" and echo_task)
+    echo_compact = (banded_tb is not None and not panel
+                    and config.echo_impl == "compact" and echo_task)
     # compressed tables feed the banded ECHO path and/or the gather-free lift
-    need_comp = banded_tb is not None and not panel and not echo_panel and (
-        (config.echo_impl == "banded" and echo_task)
-        or config.lift_impl == "banded")
+    need_comp = (banded_tb is not None and not panel and not echo_panel
+                 and not echo_compact and (
+                     (config.echo_impl == "banded" and echo_task)
+                     or config.lift_impl == "banded"))
     batches = []
     for lo in range(0, len(records), batch_size):
         group = records[lo:lo + batch_size]
@@ -112,7 +116,8 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
         else:
             batches.append(stack_batch(items, banded_tb=banded_tb,
                                        echo_banded=need_comp,
-                                       echo_panel=echo_panel))
+                                       echo_panel=echo_panel,
+                                       echo_compact=echo_compact))
     return batches
 
 

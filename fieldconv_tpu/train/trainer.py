@@ -63,7 +63,8 @@ jax.tree_util.register_dataclass(
 def stack_batch(items, banded_tb: Optional[int] = None,
                 echo_banded: bool = False,
                 panel_tb: Optional[int] = None,
-                echo_panel: bool = False) -> MeshBatch:
+                echo_panel: bool = False,
+                echo_compact: bool = False) -> MeshBatch:
     """Stack (pos, table, label) triples sharing bucket shapes.
 
     banded_tb: when set, also build + stack BandedTables (Pallas conv path)
@@ -123,13 +124,20 @@ def stack_batch(items, banded_tb: Optional[int] = None,
             band_limit=t0.band_limit, n_rings=t0.n_rings,
         )
     panels = None
-    if echo_panel:
+    if echo_panel or echo_compact:
         if banded_tb is None:
-            raise ValueError("echo_panel requires banded_tb")
-        if echo_banded:
-            raise ValueError("pass echo_banded or echo_panel, not both")
-        panels = [build_panel_table(t, tb=banded_tb, compressed=True)
-                  for t in tables]
+            raise ValueError("echo_panel/echo_compact require banded_tb")
+        if echo_banded or (echo_panel and echo_compact):
+            raise ValueError("pass exactly one of echo_banded/echo_panel/"
+                             "echo_compact")
+        if echo_compact:
+            from ..precomp.banded import build_compact_panel_table
+
+            panels = [build_compact_panel_table(t, tb=banded_tb)
+                      for t in tables]
+        else:
+            panels = [build_panel_table(t, tb=banded_tb, compressed=True)
+                      for t in tables]
     return MeshBatch(
         pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
         table=stacked,

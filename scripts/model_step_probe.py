@@ -6,7 +6,8 @@ at the notebook shapes, with the batch built by the PRODUCTION routing
 (stack_batch mixed mode: banded convs + panel ECHO/lift — the presets'
 echo_impl='panel').  Median of host-dispatched steps.
 
-Env: STEP_TASKS (seg,corr), STEP_MODE (panel|banded|onehot), STEP_INNER.
+Env: STEP_TASKS (seg,corr), STEP_MODE (panel|compact|banded|onehot),
+STEP_INNER.
 """
 import json
 import os
@@ -42,7 +43,8 @@ def main():
         config = ExperimentConfig(
             task=c["task"], band_limit=c["B"], n_rings=c["R"], nf=c["nf"],
             n_des=c["n_des"], n_bins=c["n_bins"],
-            echo_impl=mode if mode in ("onehot", "banded", "panel")
+            echo_impl=mode if mode in ("onehot", "banded", "panel",
+                                       "compact")
             else "onehot",
             random_scale=(0.85, 1.15) if name == "seg" else None)
         table_np = build_synthetic_tables(N=c["N"], D=128, B=c["B"],
@@ -55,6 +57,8 @@ def main():
         kw = {}
         if mode == "panel":
             kw = dict(banded_tb=128, echo_panel=True)
+        elif mode == "compact":
+            kw = dict(banded_tb=128, echo_compact=True)
         elif mode == "banded":
             kw = dict(banded_tb=128, echo_banded=True)
         elif mode == "onehot":
