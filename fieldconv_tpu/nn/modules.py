@@ -112,8 +112,15 @@ class TransField(lnn.Module):
             if comp is None:
                 raise ValueError("graph-parallel TransField requires a "
                                  "CompressedBandedTable")
-            from ..precomp.banded import PanelShards
+            from ..precomp.banded import CompactShards, PanelShards
 
+            if isinstance(comp, CompactShards):
+                from ..parallel.panel_gp import trans_field_compact_gp
+
+                ang, mag = trans_field_compact_gp(x, comp, lift_cols,
+                                                  self.axis_name)
+                return tf_ops.trans_field_weight(
+                    ang, mag, zonal_ang, zonal_mag, phase, self.ftype)
             if isinstance(comp, PanelShards):
                 from ..parallel.panel_gp import trans_field_panel_gp
 
@@ -279,8 +286,13 @@ class ECHO(lnn.Module):
             if comp is None:
                 raise ValueError("graph-parallel ECHO requires a "
                                  "CompressedBandedTable")
-            from ..precomp.banded import PanelShards
+            from ..precomp.banded import CompactShards, PanelShards
 
+            if isinstance(comp, CompactShards):
+                from ..parallel.panel_gp import echo_compact_gp
+
+                return echo_compact_gp(x, comp, self.n_bins,
+                                       self.axis_name)
             if isinstance(comp, PanelShards):
                 from ..parallel.panel_gp import echo_panel_gp
 

@@ -423,14 +423,18 @@ _compact_lift_agg.defvjp(_compact_lift_agg_fwd, _compact_lift_agg_bwd)
 
 
 def trans_field_compact_contrib(x, compact, lift_cols=(0, 1),
-                                panel_chunk: int = 256):
+                                panel_chunk: int = 256, x_src=None):
     """TransField aggregation over the CompactPanelTable layout — same math
     as :func:`trans_field_panel_contrib` (reference nn/trans_field.py:
     104-110) but with each panel's source columns gathered per
     ``src_idx`` instead of read as whole blocks: ~3x fewer dead slots at
     163k vertices.  Forward gathers rows; backward folds per-panel column
     grads with one segment_sum (hand-rolled VJP — XLA's gather transpose
-    is a scatter-add)."""
+    is a scatter-add).
+
+    x_src: optional GLOBAL source rows for the graph-parallel path
+    (``src_idx`` holds global indices; x stays shard-local for the
+    target term).  Default x itself."""
     x = jnp.asarray(x)
     N, C = x.shape
     TB = compact.tb
@@ -438,9 +442,10 @@ def trans_field_compact_contrib(x, compact, lift_cols=(0, 1),
     R, B = compact.n_rings, compact.band_limit
     k0, k1 = lift_cols
     pc = min(panel_chunk, compact.n_panels)
+    x_src = x if x_src is None else jnp.asarray(x_src)
 
     statics = (R, B, k1, pc, TB)
-    part, ssum, magp = _compact_lift_agg(x, compact.sten, compact.meta,
+    part, ssum, magp = _compact_lift_agg(x_src, compact.sten, compact.meta,
                                          compact.src_idx, statics)
     meta0 = compact.meta[0]
     seg = jax.ops.segment_sum(part, meta0, num_segments=nb_out)

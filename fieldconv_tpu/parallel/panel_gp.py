@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..precomp.banded import PanelShards
+from ..precomp.banded import CompactPanelTable, CompactShards, PanelShards
 
 
 def field_conv_panel_gp(x, shard: PanelShards, zonal, spherical, phase,
@@ -107,6 +107,45 @@ def echo_panel_gp(x, shard: PanelShards, n_bins: int, axis_name: str,
     return echo_panel(x, (shard.sten, shard.meta, shard.tb), n_bins,
                       panel_chunk=panel_chunk, x_src=x_full,
                       n_out=x.shape[0])
+
+
+def local_compact_shard(shards: CompactShards) -> CompactPanelTable:
+    """View the shard_map-local row of a stacked CompactShards as a
+    CompactPanelTable over LOCAL target blocks + GLOBAL source indices."""
+    return CompactPanelTable(
+        sten=shards.sten[0], meta=shards.meta[0],
+        src_idx=shards.src_idx[0],
+        tb=shards.tb, n_pad=shards.n_local,
+        band_limit=shards.band_limit, n_rings=shards.n_rings,
+        compressed=shards.compressed, ts=shards.ts,
+    )
+
+
+def trans_field_compact_gp(x, shard: CompactShards, lift_cols,
+                           axis_name: str, panel_chunk: int = 256):
+    """Shard-local compact-layout TransField: all_gather the scalar rows,
+    aggregate the shard's compact panels (LOCAL targets, GLOBAL gathered
+    columns).  The shard's segment_sum emits a full-length dX with exact
+    zeros at unreferenced rows; the gather's AD transpose psum_scatters
+    it onto the owners — no coverage mask needed."""
+    from ..ops.trans_field import trans_field_compact_contrib
+
+    x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    return trans_field_compact_contrib(
+        x, local_compact_shard(shard), lift_cols=lift_cols,
+        panel_chunk=panel_chunk, x_src=x_full)
+
+
+def echo_compact_gp(x, shard: CompactShards, n_bins: int, axis_name: str,
+                    cc: int = 8):
+    """Shard-local compact-layout ECHO: all_gather the tangent features,
+    splat the shard's compact panels into local target histograms.  Same
+    transpose structure as :func:`trans_field_compact_gp`."""
+    from ..ops.pallas.echo_panel import echo_panel_pallas
+
+    x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    return echo_panel_pallas(x, local_compact_shard(shard), n_bins, cc=cc,
+                             x_src=x_full, n_out=x.shape[0])
 
 
 # --- full-model panel-gp trainer -------------------------------------------

@@ -837,6 +837,97 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass
+class CompactShards:
+    """Per-shard CompactPanelTables for graph-parallel execution, stacked
+    on a leading shard axis for shard_map (parallel/panel_gp.py).
+
+    Simpler than PanelShards: no by-source view and no coverage mask —
+    each shard's backward writes its own panels' gathered columns and one
+    segment_sum over the GLOBAL ``src_idx`` produces a full-length dX
+    (exact zeros at unreferenced rows), whose all_gather transpose
+    psum_scatters onto the owners.
+
+      sten    (S, P, 5, TB, TS) — zero padding panels to the max count;
+      meta    (S, 4, P) — (tgt LOCAL block, panel_id, first_t, last_t),
+        padding panels repeat the last real tgt with flags 0;
+      src_idx (S, P, TS) int32 — GLOBAL vertex index per column (padding
+        panels gather row 0; their stencil planes are zero, so votes and
+        gradients vanish).
+    """
+
+    sten: jnp.ndarray
+    meta: jnp.ndarray
+    src_idx: jnp.ndarray
+    tb: int
+    n_pad: int
+    n_local: int
+    band_limit: int
+    n_rings: int
+    compressed: bool = True
+    ts: int = 128
+
+    @property
+    def n_shards(self) -> int:
+        return self.sten.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    CompactShards,
+    data_fields=["sten", "meta", "src_idx"],
+    meta_fields=["tb", "n_pad", "n_local", "band_limit", "n_rings",
+                 "compressed", "ts"],
+)
+
+
+def shard_compact_table(compact: CompactPanelTable,
+                        n_shards: int) -> CompactShards:
+    """Split a global CompactPanelTable by contiguous target-block ranges
+    (panels are target-sorted, so each shard is one slice; first/last
+    flags stay valid because slices cut at whole target groups)."""
+    sten = np.asarray(compact.sten)
+    meta = np.asarray(compact.meta)
+    src_idx = np.asarray(compact.src_idx)
+    nb = compact.n_pad // compact.tb
+    if nb % n_shards:
+        raise ValueError(f"nb={nb} not divisible by n_shards={n_shards}")
+    nbl = nb // n_shards
+
+    pieces = []
+    for s in range(n_shards):
+        lo_b, hi_b = s * nbl, (s + 1) * nbl
+        sel = (meta[0] >= lo_b) & (meta[0] < hi_b)
+        idx = np.nonzero(sel)[0]
+        m = meta[:, idx].copy()
+        m[0] -= lo_b
+        pieces.append((sten[idx], m, src_idx[idx]))
+
+    P_max = max(p[0].shape[0] for p in pieces)
+    stens, metas, idxs = [], [], []
+    for sten_s, m, si in pieces:
+        pad = P_max - sten_s.shape[0]
+        if pad:
+            sten_s = np.concatenate(
+                [sten_s, np.zeros((pad,) + sten_s.shape[1:], sten_s.dtype)])
+            last_col = m[:, -1:].copy()
+            last_col[2:] = 0                     # first_t = last_t = 0
+            m = np.concatenate([m, np.repeat(last_col, pad, axis=1)], axis=1)
+            si = np.concatenate(
+                [si, np.zeros((pad, si.shape[1]), si.dtype)])
+        stens.append(sten_s)
+        metas.append(m)
+        idxs.append(si)
+
+    return CompactShards(
+        sten=jnp.asarray(np.stack(stens)),
+        meta=jnp.asarray(np.stack(metas)),
+        src_idx=jnp.asarray(np.stack(idxs)),
+        tb=compact.tb, n_pad=compact.n_pad, n_local=nbl * compact.tb,
+        band_limit=compact.band_limit, n_rings=compact.n_rings,
+        compressed=compact.compressed, ts=compact.ts,
+    )
+
+
 def shard_panel_table(panel: PanelTable, n_shards: int) -> PanelShards:
     """Split a global PanelTable by contiguous target-block ranges.
 

@@ -169,3 +169,74 @@ def test_panel_gp_full_model_matches_single_device(rng, task):
             np.asarray(flatg[path]), np.asarray(leaf),
             rtol=1e-3, atol=2e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_compact_gp_echo_lift_match_single_device(rng):
+    """Compact-layout graph parallelism: 4-shard ECHO + lift == 1-device
+    values and grads (global-row segment_sum dX + all_gather transpose —
+    no coverage mask, no by-source view)."""
+    from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
+    from fieldconv_tpu.ops.trans_field import trans_field_compact_contrib
+    from fieldconv_tpu.parallel.panel_gp import (echo_compact_gp,
+                                                 trans_field_compact_gp)
+    from fieldconv_tpu.precomp.banded import (CompactShards,
+                                              build_compact_panel_table,
+                                              shard_compact_table)
+
+    n_shards = 4
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=1, R=3, epsilon=0.5)
+    pos = rng.normal(size=(g["n_vertices"], 3))
+    perm = kd_order(pos, tb=8)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], g["n_vertices"], g["B"], g["R"],
+                             g["epsilon"], n_multiple=8)
+    compact = build_compact_panel_table(table, tb=8, ts=8)
+    shards = shard_compact_table(compact, n_shards)
+    N, C = table.n_pad, 4
+
+    z = rng.normal(size=(N, C)) + 1j * rng.normal(size=(N, C))
+    xe = np.stack([z.real, z.imag], -1).astype(np.float32)
+    xe[rng.random(N) < 0.2] = 0.0
+    xe = jnp.asarray(xe)
+    xs = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+
+    def loss1(xe, xs):
+        h = echo_panel_pallas(xe, compact, 2, cc=2)
+        a, m = trans_field_compact_contrib(xs, compact, lift_cols=(1, 2))
+        return jnp.sum(jnp.sin(h)) + jnp.sum(jnp.sin(a)) + jnp.sum(m * m)
+
+    l1, g1 = jax.value_and_grad(loss1, argnums=(0, 1))(xe, xs)
+
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    gp = P("graph")
+
+    def loss_gp(xe_l, xs_l, sten, meta, src_idx):
+        sh = CompactShards(
+            sten=sten, meta=meta, src_idx=src_idx,
+            tb=shards.tb, n_pad=shards.n_pad, n_local=shards.n_local,
+            band_limit=shards.band_limit, n_rings=shards.n_rings,
+            compressed=shards.compressed, ts=shards.ts)
+        h = echo_compact_gp(xe_l, sh, 2, "graph", cc=2)
+        a, m = trans_field_compact_gp(xs_l, sh, (1, 2), "graph")
+        return jax.lax.psum(
+            jnp.sum(jnp.sin(h)) + jnp.sum(jnp.sin(a)) + jnp.sum(m * m),
+            "graph")
+
+    smapped = jax.shard_map(
+        loss_gp, mesh=mesh,
+        in_specs=(gp, gp, gp, gp, gp),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def wrapped(xe, xs):
+        return smapped(xe, xs, shards.sten, shards.meta, shards.src_idx)
+
+    with mesh:
+        l2, g2 = jax.value_and_grad(wrapped, argnums=(0, 1))(xe, xs)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
