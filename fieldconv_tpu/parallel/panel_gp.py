@@ -166,6 +166,11 @@ class PanelGPBatch:
     pos (N, 3) / vmask (N,) / labels () or (N,) shard their vertex axis
     over 'graph'; the stacked PanelShards arrays shard their leading shard
     axis.  n_valid is the GLOBAL valid-vertex count.
+
+    Optional MIXED mode (the single-chip optimum, multi-chip): csten /
+    cmeta / csrc_idx carry stacked CompactShards arrays — the convs stay
+    on the block panels while ECHO + lift run the compacted-column
+    layout (c_tb/c_ts static sides).
     """
 
     pos: jnp.ndarray
@@ -182,20 +187,34 @@ class PanelGPBatch:
     n_rings: int
     compressed: bool
     n_valid: int
+    csten: jnp.ndarray = None
+    cmeta: jnp.ndarray = None
+    csrc_idx: jnp.ndarray = None
+    c_tb: int = 0
+    c_ts: int = 0
+    c_compressed: bool = True
 
 
 jax.tree_util.register_dataclass(
     PanelGPBatch,
     data_fields=["pos", "vmask", "labels", "sten", "meta", "meta_s",
-                 "coverage"],
+                 "coverage", "csten", "cmeta", "csrc_idx"],
     meta_fields=["tb", "n_pad", "n_local", "band_limit", "n_rings",
-                 "compressed", "n_valid"],
+                 "compressed", "n_valid", "c_tb", "c_ts", "c_compressed"],
 )
 
 
-def panel_gp_batch(pos, table, labels, shards: PanelShards) -> PanelGPBatch:
+def panel_gp_batch(pos, table, labels, shards: PanelShards,
+                   compact_shards: CompactShards = None) -> PanelGPBatch:
     """Assemble a PanelGPBatch from one mesh's (pos, EdgeTable, labels) and
-    its shard_panel_table output."""
+    its shard_panel_table output; pass shard_compact_table's output as
+    ``compact_shards`` for the mixed conv-panel + compact-ECHO/lift mode."""
+    kw = {}
+    if compact_shards is not None:
+        kw = dict(csten=compact_shards.sten, cmeta=compact_shards.meta,
+                  csrc_idx=compact_shards.src_idx,
+                  c_tb=compact_shards.tb, c_ts=compact_shards.ts,
+                  c_compressed=compact_shards.compressed)
     return PanelGPBatch(
         pos=jnp.asarray(pos, jnp.float32), vmask=jnp.asarray(table.vmask),
         labels=jnp.asarray(labels),
@@ -203,7 +222,7 @@ def panel_gp_batch(pos, table, labels, shards: PanelShards) -> PanelGPBatch:
         coverage=shards.coverage,
         tb=shards.tb, n_pad=shards.n_pad, n_local=shards.n_local,
         band_limit=shards.band_limit, n_rings=shards.n_rings,
-        compressed=shards.compressed, n_valid=table.n_valid,
+        compressed=shards.compressed, n_valid=table.n_valid, **kw,
     )
 
 
@@ -212,6 +231,11 @@ def place_panel_gp_batch(b: PanelGPBatch, mesh: Mesh) -> PanelGPBatch:
     g = P("graph")
     put = jax.device_put
     ns = lambda spec: jax.sharding.NamedSharding(mesh, spec)
+    kw = {}
+    if b.csten is not None:
+        kw = dict(csten=put(b.csten, ns(g)), cmeta=put(b.cmeta, ns(g)),
+                  csrc_idx=put(b.csrc_idx, ns(g)),
+                  c_tb=b.c_tb, c_ts=b.c_ts, c_compressed=b.c_compressed)
     return PanelGPBatch(
         pos=put(b.pos, ns(g)), vmask=put(b.vmask, ns(g)),
         labels=put(b.labels, ns(g if b.labels.ndim else P())),
@@ -219,7 +243,7 @@ def place_panel_gp_batch(b: PanelGPBatch, mesh: Mesh) -> PanelGPBatch:
         meta_s=put(b.meta_s, ns(g)), coverage=put(b.coverage, ns(g)),
         tb=b.tb, n_pad=b.n_pad, n_local=b.n_local,
         band_limit=b.band_limit, n_rings=b.n_rings,
-        compressed=b.compressed, n_valid=b.n_valid,
+        compressed=b.compressed, n_valid=b.n_valid, **kw,
     )
 
 
@@ -233,13 +257,24 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
     from .gp import VertexMeta, _mask_to_shard0
 
     task = config.task
+    mixed = meta.csten is not None
 
-    def loss_fn(params, key, pos, vmask, labels, sten, m, m_s, cov):
+    def loss_fn(params, key, pos, vmask, labels, sten, m, m_s, cov,
+                *cargs):
         sh = local_shard(PanelShards(
             sten=sten, meta=m, meta_s=m_s, coverage=cov,
             tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
             band_limit=meta.band_limit, n_rings=meta.n_rings,
             compressed=meta.compressed))
+        if mixed:
+            csten, cmeta, csrc = cargs
+            comp_sh = CompactShards(
+                sten=csten, meta=cmeta, src_idx=csrc,
+                tb=meta.c_tb, n_pad=meta.n_pad, n_local=meta.n_local,
+                band_limit=meta.band_limit, n_rings=meta.n_rings,
+                compressed=meta.c_compressed, ts=meta.c_ts)
+        else:
+            comp_sh = sh
         vm = VertexMeta(vmask=vmask, n_valid=meta.n_valid,
                         band_limit=meta.band_limit, n_rings=meta.n_rings)
         ka, kdrop = jax.random.split(key)
@@ -248,10 +283,10 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
                                   config.random_scale)[0]
         if task == "correspondence":
             kdrop = jax.random.fold_in(kdrop, jax.lax.axis_index("graph"))
-            out = net.apply(params, pos, vm, sh, sh, deterministic=False,
-                            rngs={"dropout": kdrop})
+            out = net.apply(params, pos, vm, sh, comp_sh,
+                            deterministic=False, rngs={"dropout": kdrop})
         else:
-            out = net.apply(params, pos, vm, sh, sh)
+            out = net.apply(params, pos, vm, sh, comp_sh)
 
         if task == "classification":
             logp = jax.nn.log_softmax(out[0], axis=-1)
@@ -279,15 +314,18 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
     label_spec = g if meta.labels.ndim else P()
     smapped = jax.shard_map(
         loss_fn, mesh=mesh,
-        in_specs=(P(), P(), g, g, label_spec, g, g, g, g),
+        in_specs=(P(), P(), g, g, label_spec, g, g, g, g)
+        + ((g, g, g) if mixed else ()),
         out_specs=P(),
         check_vma=False,
     )
 
     def value_and_grad(params, key, b: PanelGPBatch):
+        cargs = (b.csten, b.cmeta, b.csrc_idx) if mixed else ()
+
         def wrapped(p):
             return smapped(p, key, b.pos, b.vmask, b.labels, b.sten,
-                           b.meta, b.meta_s, b.coverage)
+                           b.meta, b.meta_s, b.coverage, *cargs)
 
         return jax.value_and_grad(wrapped)(params)
 

@@ -101,13 +101,14 @@ def main():
                                                   cast_panel_sten)
 
         t0 = time.time()
-        compact = build_compact_panel_table(table, tb=TB)
+        ctb = int(os.environ.get("SCALE_COMPACT_TB", str(TB)))
+        compact = build_compact_panel_table(table, tb=ctb)
         if os.environ.get("SCALE_STEN_BF16", "0") != "0":
             compact = cast_panel_sten(compact)
         cgb = compact.sten.size * compact.sten.dtype.itemsize / 1e9
         print(json.dumps({
             "stage": "compact_table", "seconds": round(time.time() - t0, 1),
-            "n_panels": int(compact.n_panels),
+            "tb": ctb, "n_panels": int(compact.n_panels),
             "stencil_gb": round(cgb, 2)}), flush=True)
 
     # on-chip step

@@ -637,17 +637,18 @@ def test_trans_field_compact_matches_gather(rng, lift_cols):
                                atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("n_bins", [2, 3])
-def test_echo_compact_matches_xla(rng, n_bins):
+@pytest.mark.parametrize("n_bins,tb", [(2, 8), (3, 8), (2, 4)])
+def test_echo_compact_matches_xla(rng, n_bins, tb):
     """The compacted-panel ECHO kernel (gathered source columns, per-panel
     disjoint backward + segment_sum fold) == the XLA gather path: values
-    and grads, origin features included."""
+    and grads, origin features included; tb=4 exercises the rectangular
+    (target-block != column-width) layout used by the 163k TB sweep."""
     from fieldconv_tpu.ops.echo import echo
     from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
     from fieldconv_tpu.precomp.banded import build_compact_panel_table
 
     g, table, panel = _panel_setup(rng, compressed=True, B=1, R=3)
-    compact = build_compact_panel_table(table, tb=8, ts=8)
+    compact = build_compact_panel_table(table, tb=tb, ts=8)
     # compaction is real on this fixture: fewer slot-pairs than the
     # block-pair panel layout
     assert compact.sten.shape[0] * 8 * 8 \
