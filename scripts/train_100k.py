@@ -66,6 +66,16 @@ def main():
     panel = build_panel_table(table, tb=TB, compressed=True)
     if os.environ.get("T100K_BF16", "1") != "0":
         panel = cast_panel_sten(panel)
+    # compacted-column layout for ECHO + lift (docs/KERNEL_NOTES.md r4:
+    # echo 1,825 -> 411 ms at 163k with TBt=32); 0 falls back to panels
+    ctb = int(os.environ.get("T100K_COMPACT_TB", "32"))
+    comp = panel
+    if ctb:
+        from fieldconv_tpu.precomp.banded import build_compact_panel_table
+
+        comp = build_compact_panel_table(table, tb=ctb)
+        if os.environ.get("T100K_BF16", "1") != "0":
+            comp = cast_panel_sten(comp)
     v_r = v[perm]
     print(json.dumps({"stage": "tables", "n_pad": table.n_pad,
                       "n_panels": int(panel.n_panels),
@@ -93,8 +103,8 @@ def main():
     net = CorrespondenceNet(n_classes=n_classes, nf=32, n_des=12, n_bins=2,
                             band_limit=B, n_rings=R, remat_blocks=True)
     params = jax.jit(
-        lambda k, pn: net.init(k, pos, None, pn, pn))(jax.random.key(0),
-                                                      panel)
+        lambda k, pn, cp: net.init(k, pos, None, pn, cp))(jax.random.key(0),
+                                                          panel, comp)
     feat_net = net.clone(return_features=True)
     opt = optax.adam(0.01)
     opt_state = jax.jit(opt.init)(params)
@@ -108,8 +118,8 @@ def main():
 
     NC = head_chunks(Np)
 
-    def loss_fn(params, key, panel):
-        feats = feat_net.apply(params, pos, None, panel, panel,
+    def loss_fn(params, key, panel, comp):
+        feats = feat_net.apply(params, pos, None, panel, comp,
                                deterministic=False, rngs={"dropout": key})
         wh = params["params"]["lin2"]["weight"]
         bh = params["params"]["lin2"]["bias"]
@@ -129,15 +139,15 @@ def main():
         return jnp.sum(tot) / jnp.maximum(jnp.sum(cnt), 1)
 
     @jax.jit
-    def train_step(params, opt_state, key, panel):
-        l, grads = jax.value_and_grad(loss_fn)(params, key, panel)
+    def train_step(params, opt_state, key, panel, comp):
+        l, grads = jax.value_and_grad(loss_fn)(params, key, panel, comp)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
     @jax.jit
-    def probe_acc(params, panel):
+    def probe_acc(params, panel, comp):
         """Train accuracy on a fixed 8192-row slice (eval mode)."""
-        feats = feat_net.apply(params, pos, None, panel, panel)
+        feats = feat_net.apply(params, pos, None, panel, comp)
         sl = feats[:HCH]
         logits = sl @ params["params"]["lin2"]["weight"].T \
             + params["params"]["lin2"]["bias"]
@@ -154,10 +164,11 @@ def main():
     for step in range(n_steps):
         key, sub = jax.random.split(key)
         t0 = time.time()
-        params, opt_state, l = train_step(params, opt_state, sub, panel)
+        params, opt_state, l = train_step(params, opt_state, sub, panel,
+                                          comp)
         lf = float(l)
         if step % log_every == 0 or step == n_steps - 1:
-            acc = float(probe_acc(params, panel))
+            acc = float(probe_acc(params, panel, comp))
             rec = {"step": step, "loss": round(lf, 4),
                    "probe_acc": round(acc, 4),
                    "ms_step": round((time.time() - t0) * 1e3)}
