@@ -705,6 +705,18 @@ def test_panel_bf16_stencil_close(rng):
     hscale = float(jnp.max(jnp.abs(h32)))
     assert float(jnp.max(jnp.abs(h16 - h32))) < 3e-2 * hscale
 
+    # compact layout: the same bf16 knob through cast_panel_sten
+    from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
+    from fieldconv_tpu.precomp.banded import build_compact_panel_table
+
+    compact = build_compact_panel_table(table, tb=8, ts=8)
+    compact_h = cast_panel_sten(compact)
+    assert compact_h.sten.dtype == jnp.bfloat16
+    c32 = echo_panel_pallas(xe, compact, 2, cc=2)
+    c16 = echo_panel_pallas(xe, compact_h, 2, cc=2)
+    cscale = float(jnp.max(jnp.abs(c32)))
+    assert float(jnp.max(jnp.abs(c16 - c32))) < 3e-2 * cscale
+
 
 def test_panel_chunk_src_pad_without_tgt_pad(rng):
     """chunk>1 on a graph whose TARGET group counts already divide `chunk`
