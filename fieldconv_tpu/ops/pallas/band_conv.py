@@ -2198,6 +2198,16 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
     stencil stream dominates (see _use_g_resident)."""
     from ..field_conv import apply_filters, filter_coefficients
 
+    from ...precomp.banded import CompactPanelTable
+
+    if isinstance(banded, CompactPanelTable):
+        raise TypeError(
+            "field_conv_banded runs on block layouts (BandedTable / "
+            "CompressedBandedTable / PanelTable); the compact layout "
+            "serves ECHO + lift only (its M-wide g gather + dG "
+            "segment_sum would eat the conv's win — "
+            "docs/KERNEL_NOTES.md r4). Pass the block PanelTable as "
+            "`banded` and the CompactPanelTable as `comp`.")
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)
