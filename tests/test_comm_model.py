@@ -178,3 +178,56 @@ def test_correspondence_panel_step_bytes(rng):
                                               n_des)
     assert got["all_gather"] == want["all_gather"], (got, want)
     assert got["reduce_scatter"] == want["reduce_scatter"], (got, want)
+
+
+def test_correspondence_mixed_compact_step_bytes(rng):
+    """The MIXED mode (panel convs + compact ECHO/lift) moves exactly the
+    same collective bytes as the pure-panel step: the compact layout's
+    gather + segment_sum are shard-local, so the wire enumeration (and the
+    163k projection table) carries over unchanged."""
+    from fieldconv_tpu.models import CorrespondenceNet
+    from fieldconv_tpu.parallel.panel_gp import (
+        make_panel_gp_value_and_grad, panel_gp_batch, place_panel_gp_batch)
+    from fieldconv_tpu.precomp.banded import (build_compact_panel_table,
+                                              build_panel_table, kd_order,
+                                              reorder_precompute,
+                                              shard_compact_table,
+                                              shard_panel_table)
+    from fieldconv_tpu.precomp.stencil import build_edge_table
+    from fieldconv_tpu.train.config import ExperimentConfig
+
+    n_shards, B, R, nf, n_des = 4, 1, 3, 8, 6
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=B, R=R, epsilon=0.5)
+    perm = kd_order(rng.normal(size=(64, 3)), tb=8)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], 64, B, R, 0.5, n_multiple=8)
+    panel = build_panel_table(table, tb=8, compressed=True)
+    shards = shard_panel_table(panel, n_shards)
+    compact = build_compact_panel_table(table, tb=8, ts=8)
+    cshards = shard_compact_table(compact, n_shards)
+    N = table.n_pad
+    pos = np.zeros((N, 3), np.float32)
+    labels = np.zeros(N, np.int32)
+
+    config = ExperimentConfig(task="correspondence", band_limit=B,
+                              n_rings=R, random_rotate_deg=0.0,
+                              random_scale=None)
+    net = CorrespondenceNet(n_classes=5, nf=nf, n_des=n_des, n_bins=2,
+                            band_limit=B, n_rings=R, dropout=0.0,
+                            axis_name="graph")
+    params = net.clone(axis_name=None).init(
+        jax.random.key(0), pos, table)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    b = place_panel_gp_batch(
+        panel_gp_batch(pos, table, labels, shards,
+                       compact_shards=cshards), mesh)
+    vag = make_panel_gp_value_and_grad(net, config, 5, mesh, b)
+    with mesh:
+        txt = jax.jit(vag).lower(
+            params, jax.random.key(0), b).compile().as_text()
+    got = collective_wire_bytes(txt, n_shards)
+    want = cm.correspondence_panel_step_bytes(N, N // n_shards, B, nf,
+                                              n_des)
+    assert got["all_gather"] == want["all_gather"], (got, want)
+    assert got["reduce_scatter"] == want["reduce_scatter"], (got, want)
