@@ -32,6 +32,10 @@ def parse_args(argv=None):
                    help="stencil layout (auto: panel above "
                         "--panel-threshold padded vertices)")
     p.add_argument("--panel-threshold", type=int, default=None)
+    p.add_argument("--echo-impl", default=None,
+                   choices=["onehot", "banded", "panel", "compact"],
+                   help="ECHO implementation (presets pick the measured "
+                        "optimum; 'compact' is the >=20k-vertex layout)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log", default=None, help="metrics JSONL path")
     p.add_argument("--seed", type=int, default=0)
@@ -77,6 +81,8 @@ def main(argv=None):
             overrides["checkpoint_dir"] = args.checkpoint_dir
         if args.layout:
             overrides["layout"] = args.layout
+        if args.echo_impl:
+            overrides["echo_impl"] = args.echo_impl
         if args.panel_threshold is not None:
             overrides["panel_threshold"] = args.panel_threshold
         if overrides:
