@@ -303,12 +303,6 @@ def trans_field_panel_contrib(x, panel, lift_cols=(0, 1),
     return ang.reshape(N, C, R, 2), mag.reshape(N, C, R)
 
 
-def _compact_lift_chunks(sten, src_idx, R, B, k1, pc):
-    """Static per-chunk slicing plan for the compact lift: (n_main, tail)."""
-    P = sten.shape[0]
-    return P // pc, P % pc
-
-
 def _compact_lift_stencils(sten_c, R, B, k1):
     """Per-chunk stencil-only factors: s1 (R, cb, TB, TS, 2), sm
     (R, cb, TB, TS) — shared by the forward contraction and its hand-rolled
@@ -361,8 +355,7 @@ def _compact_lift_fwd_parts(x, sten, meta, src_idx, statics):
     n_main, tail = P // pc, P % pc
     _, (part, ssum, magp) = jax.lax.scan(
         body, (), jnp.arange(n_main, dtype=jnp.int32))
-    cb = part.shape[2:]
-    part = part.reshape(n_main * pc, *cb)
+    part = part.reshape(n_main * pc, *part.shape[2:])
     ssum = ssum.reshape(n_main * pc, *ssum.shape[2:])
     magp = magp.reshape(n_main * pc, *magp.shape[2:])
     if tail:
