@@ -112,7 +112,13 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
             items.append((r.padded_pos(n_pad, center=config.center), table,
                           r.padded_labels(n_pad)))
         if panel:
-            batches.append(stack_batch(items, panel_tb=banded_tb))
+            # pure-panel layout: echo_impl='compact' pairs the block
+            # PanelTables (convs) with per-mesh CompactPanelTables
+            # (ECHO + lift) — the measured >=20k-vertex optimum
+            batches.append(stack_batch(
+                items, panel_tb=banded_tb,
+                echo_compact=(config.echo_impl == "compact"
+                              and echo_task)))
         else:
             batches.append(stack_batch(items, banded_tb=banded_tb,
                                        echo_banded=need_comp,

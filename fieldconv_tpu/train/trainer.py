@@ -51,11 +51,16 @@ class MeshBatch:
     banded: Optional[BandedTable] = None
     comp: Optional[CompressedBandedTable] = None
     panel: Optional[list] = None
+    # pure-panel batches: optional per-mesh CompactPanelTables for ECHO +
+    # lift (the >=20k-vertex optimum, docs/KERNEL_NOTES.md r4) while the
+    # convs keep the block PanelTables in `panel`
+    compact: Optional[list] = None
 
 
 jax.tree_util.register_dataclass(
     MeshBatch,
-    data_fields=["pos", "table", "labels", "banded", "comp", "panel"],
+    data_fields=["pos", "table", "labels", "banded", "comp", "panel",
+                 "compact"],
     meta_fields=[],
 )
 
@@ -87,7 +92,8 @@ def stack_batch(items, banded_tb: Optional[int] = None,
     if panel_tb is not None:
         if banded_tb is not None:
             raise ValueError("pass banded_tb or panel_tb, not both")
-        return _stack_batch_panel(poss, tables, labels, panel_tb)
+        return _stack_batch_panel(poss, tables, labels, panel_tb,
+                                  echo_compact=echo_compact)
     t0 = tables[0]
     stacked = EdgeTable(
         src=jnp.stack([t.src for t in tables]),
@@ -148,8 +154,11 @@ def stack_batch(items, banded_tb: Optional[int] = None,
     )
 
 
-def _stack_batch_panel(poss, tables, labels, panel_tb: int) -> MeshBatch:
-    """Panel-layout batch: stacked EdgeTable + a list of PanelTables."""
+def _stack_batch_panel(poss, tables, labels, panel_tb: int,
+                       echo_compact: bool = False) -> MeshBatch:
+    """Panel-layout batch: stacked EdgeTable + a list of PanelTables;
+    echo_compact additionally builds per-mesh CompactPanelTables so ECHO +
+    lift run the compacted-column layout while the convs keep panels."""
     t0 = tables[0]
     stacked = EdgeTable(
         src=jnp.stack([t.src for t in tables]),
@@ -165,11 +174,18 @@ def _stack_batch_panel(poss, tables, labels, panel_tb: int) -> MeshBatch:
     )
     panels = [build_panel_table(t, tb=panel_tb, compressed=True)
               for t in tables]
+    compacts = None
+    if echo_compact:
+        from ..precomp.banded import build_compact_panel_table
+
+        compacts = [build_compact_panel_table(t, tb=min(panel_tb, 32))
+                    for t in tables]
     return MeshBatch(
         pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
         table=stacked,
         labels=jnp.stack([jnp.asarray(l) for l in labels]),
         panel=panels,
+        compact=compacts,
     )
 
 
@@ -274,7 +290,8 @@ def batched_apply(net, params, batch: MeshBatch, rngs=None, **kw):
                 bi = jax.tree.map(lambda x: x[i], batch.banded)
             else:
                 bi = pn
-            outs.append(net.apply(params, batch.pos[i], ti, bi, pn,
+            cp = batch.compact[i] if batch.compact is not None else pn
+            outs.append(net.apply(params, batch.pos[i], ti, bi, cp,
                                   rngs=rngs, **kw))
         return jnp.stack(outs)
     if batch.comp is not None:
@@ -306,7 +323,7 @@ def make_loss_fn(net, config: ExperimentConfig, n_classes: int):
         )
         aug = MeshBatch(pos=pos, table=batch.table, labels=batch.labels,
                         banded=batch.banded, comp=batch.comp,
-                        panel=batch.panel)
+                        panel=batch.panel, compact=batch.compact)
         if task == "classification":
             logits = batched_apply(net, params, aug)[:, 0, :]   # (B, C)
             return losses.cross_entropy(logits, batch.labels)

@@ -73,6 +73,31 @@ def test_fit_trains_through_panels(rng):
     assert final is not None and 0.0 <= final <= 1.0
 
 
+def test_fit_trains_through_panel_compact_pair(rng):
+    """Pure-panel layout with echo_impl='compact': batches pair block
+    PanelTables (convs) with CompactPanelTables (ECHO + lift) — the
+    >=20k-vertex routing — and fit() trains end-to-end through it."""
+    from fieldconv_tpu.precomp.banded import CompactPanelTable, PanelTable
+    from fieldconv_tpu.train.config import ExperimentConfig
+    from fieldconv_tpu.train.loop import fit, make_batches
+
+    recs = _seg_records(rng)
+    config = ExperimentConfig(
+        task="segmentation", band_limit=1, n_rings=2, nf=4, n_des=4,
+        n_bins=2, epochs=2, smoothing=0.2, log_every=1,
+        layout="panel", echo_impl="compact")
+    batches = make_batches(recs, config, batch_size=1, banded_tb=8)
+    b = batches[0]
+    assert b.banded is None
+    assert all(isinstance(p, PanelTable) for p in b.panel)
+    assert all(isinstance(c, CompactPanelTable) for c in b.compact)
+
+    net, state, final = fit(config, recs, test_records=recs[:1],
+                            n_classes=4, batch_size=1, banded_tb=8)
+    assert int(np.asarray(state.step)) == 2 * len(recs)
+    assert final is not None and 0.0 <= final <= 1.0
+
+
 def test_fit_trains_through_compact(rng):
     """fit() end-to-end with echo_impl='compact': mixed batches carry a
     BandedTable for the convs and per-mesh CompactPanelTables for ECHO +
