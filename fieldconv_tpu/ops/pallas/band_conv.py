@@ -1924,6 +1924,206 @@ def _bwd_panel_chunk_kernel(meta_s_ref, *refs, R, K, B, C, TB, O2, CH,
         dg_ref[:] = dg_acc[:]
 
 
+# --- compact-layout conv kernels (rectangular (TBT, TBS) panels) -----------
+#
+# The conv counterpart of the compact ECHO/lift layout: gathered source
+# columns, per-panel disjoint dG writes + one segment_sum.  Measured to
+# decide whether the conv should also leave the block panels (the a-priori
+# analysis says the M-wide gather + segment_sum eats most of the win at
+# C=32 — docs/KERNEL_NOTES.md r4); kept as an explicit routing so the
+# question is answered by numbers, not analysis.
+
+
+def _panel_accum_rect(g_ref, sten_ref, contrib, *, R, K, B, C, TBT, TBS,
+                      compressed, mxu_dtype):
+    """contrib += this (TBT, TBS) panel's partial (R*TBT, K*2C)."""
+    C2 = 2 * C
+    hats, pairs = _panel_pairs(sten_ref, R=R, K=K, B=B,
+                               compressed=compressed)
+    for k, f_re, f_im in pairs:
+        s_re = (hats * f_re[None]).reshape(R * TBT, TBS).astype(mxu_dtype)
+        s_im = (hats * f_im[None]).reshape(R * TBT, TBS).astype(mxu_dtype)
+        gj = g_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+        pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        contrib[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+        contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+
+
+def _fwd_compact_kernel(meta_ref, g_ref, sten_ref, w_ref, out_ref, contrib,
+                        *, R, K, B, C, TBT, TBS, O2, compressed,
+                        mxu_dtype=jnp.float32):
+    p = pl.program_id(0)
+
+    @pl.when(meta_ref[2, p] == 1)
+    def _():
+        contrib[:] = jnp.zeros_like(contrib)
+
+    _panel_accum_rect(g_ref, sten_ref, contrib, R=R, K=K, B=B, C=C,
+                      TBT=TBT, TBS=TBS, compressed=compressed,
+                      mxu_dtype=mxu_dtype)
+
+    @pl.when(meta_ref[3, p] == 1)
+    def _():
+        _apply_w(contrib, w_ref, out_ref, R=R, TB=TBT, O2=O2,
+                 mxu_dtype=mxu_dtype)
+
+
+def _bwd_compact_kernel(meta_ref, dy_ref, g_ref, sten_ref, w_ref,
+                        dg_ref, dw_ref, dcontrib, pc,
+                        *, R, K, B, C, TBT, TBS, O2, compressed,
+                        mxu_dtype=jnp.float32):
+    """Per-panel direct dG writes (gathered columns are disjoint — no
+    by-source grid, no accumulator); dW accumulated over the grid."""
+    p = pl.program_id(0)
+    C2 = 2 * C
+    contract_cols = (((1,), (1,)), ((), ()))
+    contract_rows = (((0,), (0,)), ((), ()))
+
+    @pl.when(p == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dy = dy_ref[:].astype(mxu_dtype)                        # (TBT, O2)
+    for r in range(R):
+        dcontrib[r * TBT:(r + 1) * TBT, :] = jax.lax.dot_general(
+            dy, w_ref[r].astype(mxu_dtype), contract_cols,
+            preferred_element_type=jnp.float32)
+
+    pc[:] = jnp.zeros_like(pc)
+    hats, pairs = _panel_pairs(sten_ref, R=R, K=K, B=B,
+                               compressed=compressed)
+    for k, f_re, f_im in pairs:
+        s_re = (hats * f_re[None]).reshape(R * TBT, TBS).astype(mxu_dtype)
+        s_im = (hats * f_im[None]).reshape(R * TBT, TBS).astype(mxu_dtype)
+        gj = g_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        pa = jnp.dot(s_re, gj, preferred_element_type=jnp.float32)
+        pb = jnp.dot(s_im, gj, preferred_element_type=jnp.float32)
+        pc[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
+        pc[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
+        d_both = dcontrib[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
+        p1 = jax.lax.dot_general(s_re, d_both, contract_rows,
+                                 preferred_element_type=jnp.float32)
+        p2 = jax.lax.dot_general(s_im, d_both, contract_rows,
+                                 preferred_element_type=jnp.float32)
+        dg_ref[:, (2 * k) * C:(2 * k + 1) * C] = p1[:, :C] + p2[:, C:]
+        dg_ref[:, (2 * k + 1) * C:(2 * k + 2) * C] = p1[:, C:] - p2[:, :C]
+
+    for r in range(R):
+        cr = pc[r * TBT:(r + 1) * TBT, :].astype(mxu_dtype)
+        dw_ref[r] += jax.lax.dot_general(
+            cr, dy, contract_rows, preferred_element_type=jnp.float32)
+
+
+def _band_compact_fwd_impl(gg, wmat, sten, meta, tbt, tbs, n_rings,
+                           band_limit, compressed, precision, n_out):
+    M = gg.shape[1]
+    R, B = n_rings, band_limit
+    K = 2 * B + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    P, planes = sten.shape[0], sten.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((tbs, M), lambda p, m: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, planes, tbt, tbs), lambda p, m: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tbt, O2), lambda p, m: (m[0, p], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R * tbt, M), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_compact_kernel, R=R, K=K, B=B, C=C, TBT=tbt,
+                          TBS=tbs, O2=O2, compressed=compressed,
+                          mxu_dtype=_mxu_dtype(precision)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, O2), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(meta, gg, sten, wmat)
+
+
+def _band_compact_bwd_impl(dy, gg, wmat, sten, meta, tbt, tbs, n_rings,
+                           band_limit, compressed, precision):
+    M = gg.shape[1]
+    R, B = n_rings, band_limit
+    K = 2 * B + 1
+    C = M // (2 * K)
+    O2 = wmat.shape[-1]
+    P, planes = sten.shape[0], sten.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((tbt, O2), lambda p, m: (m[0, p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, M), lambda p, m: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, planes, tbt, tbs), lambda p, m: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tbs, M), lambda p, m: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((R * tbt, M), jnp.float32),
+                        pltpu.VMEM((R * tbt, M), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_compact_kernel, R=R, K=K, B=B, C=C, TBT=tbt,
+                          TBS=tbs, O2=O2, compressed=compressed,
+                          mxu_dtype=_mxu_dtype(precision)),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((P * tbs, M), jnp.float32),
+                   jax.ShapeDtypeStruct(wmat.shape, jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(meta, dy, gg, sten, wmat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _band_compact(g, wmat, sten, meta, src_flat, tbt, tbs, n_rings,
+                  band_limit, compressed, precision, n_out):
+    gg = jnp.take(g, src_flat, axis=0)
+    return _band_compact_fwd_impl(gg, wmat, sten, meta, tbt, tbs, n_rings,
+                                  band_limit, compressed, precision, n_out)
+
+
+def _band_compact_fwd(g, wmat, sten, meta, src_flat, tbt, tbs, n_rings,
+                      band_limit, compressed, precision, n_out):
+    y = _band_compact(g, wmat, sten, meta, src_flat, tbt, tbs, n_rings,
+                      band_limit, compressed, precision, n_out)
+    return y, (g, wmat, sten, meta, src_flat)
+
+
+def _band_compact_bwd(tbt, tbs, n_rings, band_limit, compressed, precision,
+                      n_out, res, dy):
+    g, wmat, sten, meta, src_flat = res
+    gg = jnp.take(g, src_flat, axis=0)
+    dgg, dw = _band_compact_bwd_impl(dy, gg, wmat, sten, meta, tbt, tbs,
+                                     n_rings, band_limit, compressed,
+                                     precision)
+    dg = jax.ops.segment_sum(dgg, src_flat, num_segments=g.shape[0])
+    zero_meta = np.zeros(meta.shape, dtype=jax.dtypes.float0)
+    zero_idx = np.zeros(src_flat.shape, dtype=jax.dtypes.float0)
+    return dg, dw, jnp.zeros_like(sten), zero_meta, zero_idx
+
+
+_band_compact.defvjp(_band_compact_fwd, _band_compact_bwd)
+
+
 def _band_panel_fwd_impl(g, wmat, sten, meta, tb, n_rings, band_limit,
                          compressed, precision, n_out=None, chunk=1):
     N, M = g.shape
