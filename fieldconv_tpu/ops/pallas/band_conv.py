@@ -2403,11 +2403,8 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
     if isinstance(banded, CompactPanelTable):
         raise TypeError(
             "field_conv_banded runs on block layouts (BandedTable / "
-            "CompressedBandedTable / PanelTable); the compact layout "
-            "serves ECHO + lift only (its M-wide g gather + dG "
-            "segment_sum would eat the conv's win — "
-            "docs/KERNEL_NOTES.md r4). Pass the block PanelTable as "
-            "`banded` and the CompactPanelTable as `comp`.")
+            "CompressedBandedTable / PanelTable); for the compact layout "
+            "use field_conv_compact(x, comp, ...).")
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)
@@ -2481,3 +2478,40 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
         return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
     contrib = band_contrib(g, banded, precision)
     return apply_filters(contrib, coeff)
+
+
+def field_conv_compact(x, comp, zonal, spherical, phase, ftype,
+                       precision: str = "f32"):
+    """Full field convolution over the COMPACT panel layout:
+    (N, C, 2) -> (N, O, 2).
+
+    comp: CompactPanelTable — the same gathered-source-column table the
+    ECHO/lift kernels consume at 100k+ scale, so a model can run EVERY op
+    off one table.  The runtime price vs the block-panel path is one
+    row-gather of the rotated-source tensor (``g[src_idx]``, (P·TS, M))
+    per fwd/bwd and one ``segment_sum`` folding the per-panel disjoint dG
+    blocks; the win is the compacted occupancy (dead-slot stencil work
+    and the panel count both shrink ~3x at 163k).  Whether the trade is
+    net-positive is decided by measurement (docs/KERNEL_NOTES.md), not
+    analysis — this wrapper exists so the A/B is one flag.
+
+    Reference semantics: transforms/fc_precomp.py + nn/field_conv.py of
+    twmitchel/FieldConv (same contraction as field_conv_banded)."""
+    from ..field_conv import filter_coefficients
+
+    from ...precomp.banded import CompactPanelTable
+
+    if not isinstance(comp, CompactPanelTable):
+        raise TypeError(f"field_conv_compact needs a CompactPanelTable, "
+                        f"got {type(comp).__name__}")
+    g = rotated_source_tensor_kmajor(x, comp.band_limit)
+    coeff = filter_coefficients(zonal, spherical, phase, ftype,
+                                comp.band_limit)
+    wmat = filters_to_wmat(coeff)
+    src_flat = comp.src_idx.reshape(-1)
+    y2 = _band_compact(
+        g, wmat, comp.sten, comp.meta, src_flat,
+        comp.tb, comp.ts, comp.n_rings, comp.band_limit,
+        comp.compressed, precision, comp.n_pad)
+    O = wmat.shape[-1] // 2
+    return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)

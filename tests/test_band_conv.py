@@ -676,6 +676,50 @@ def test_echo_compact_matches_xla(rng, n_bins, tb):
                                atol=3e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("tb,ftype", [(8, 1), (4, 0), (8, 2)])
+def test_conv_compact_matches_xla(rng, tb, ftype):
+    """The compact-layout field convolution (gathered source columns,
+    per-panel disjoint dG blocks folded by a segment_sum) == the XLA
+    gather path: values and grads (x AND all three filter params), all
+    ftypes; tb=4 exercises the rectangular (TBt != TS) layout the 163k
+    TBt sweep uses."""
+    from fieldconv_tpu.ops.pallas.band_conv import field_conv_compact
+    from fieldconv_tpu.precomp.banded import build_compact_panel_table
+
+    B, R = 1, 3
+    g, table, panel = _panel_setup(rng, compressed=True, B=B, R=R)
+    compact = build_compact_panel_table(table, tb=tb, ts=8)
+    N, C, O = table.n_pad, 4, 3
+    x = jnp.asarray(np.stack([rng.normal(size=(N, C)),
+                              rng.normal(size=(N, C))], -1), jnp.float32)
+    if ftype == 2:
+        zon = jnp.asarray(rng.normal(size=(O, C, R, 2)), jnp.float32)
+        sph = jnp.asarray(rng.normal(size=(O, C, R, 2 * B, 2)), jnp.float32)
+    else:
+        zon = jnp.asarray(rng.normal(size=(O, C, R)), jnp.float32)
+        sph = jnp.asarray(rng.normal(size=(O, C, R, B, 2)), jnp.float32)
+    ph = jnp.asarray(rng.normal(size=(O, C, B + 1)), jnp.float32)
+
+    want = field_conv(x, table, zon, sph, ph, ftype, d_chunk=1024)
+    got = field_conv_compact(x, compact, zon, sph, ph, ftype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=2e-5)
+
+    def loss_ref(x, zon, sph, ph):
+        return jnp.sum(jnp.sin(
+            field_conv(x, table, zon, sph, ph, ftype, d_chunk=1024)))
+
+    def loss_cp(x, zon, sph, ph):
+        return jnp.sum(jnp.sin(
+            field_conv_compact(x, compact, zon, sph, ph, ftype)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, zon, sph, ph)
+    g_cp = jax.grad(loss_cp, argnums=(0, 1, 2, 3))(x, zon, sph, ph)
+    for a, b in zip(g_cp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=2e-5)
+
+
 def test_panel_bf16_stencil_close(rng):
     """cast_panel_sten(bf16): conv and ECHO panel paths stay within bf16
     quantisation of the f32 results (the storage/DMA-halving knob)."""
