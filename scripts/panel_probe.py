@@ -46,6 +46,17 @@ def main():
             "variant": "panel", "P": int(panel.n_panels),
             "sten_mb": round(panel.sten.size * 4 / 1e6, 1),
             "build_s": round(time.time() - t0, 1)}), flush=True)
+    if "compact" in variants:
+        from fieldconv_tpu.precomp.banded import build_compact_panel_table
+
+        CTB = int(os.environ.get("PROBE_CTB", "32"))
+        t0 = time.time()
+        compact = build_compact_panel_table(table, tb=CTB, ts=128)
+        tables["compact"] = jax.device_put(compact)
+        print(json.dumps({
+            "variant": "compact", "P": int(compact.n_panels), "tbt": CTB,
+            "sten_mb": round(compact.sten.size * 4 / 1e6, 1),
+            "build_s": round(time.time() - t0, 1)}), flush=True)
     if "banded" in variants:
         banded = build_banded_table(table, tb=128)
         tables["banded"] = jax.device_put(banded)
@@ -55,7 +66,13 @@ def main():
             flush=True)
 
     def loss(x, t):
-        y = field_conv_banded(x, t, zon, sph, ph, 1)
+        from fieldconv_tpu.precomp.banded import CompactPanelTable
+        from fieldconv_tpu.ops.pallas.band_conv import field_conv_compact
+
+        if isinstance(t, CompactPanelTable):
+            y = field_conv_compact(x, t, zon, sph, ph, 1)
+        else:
+            y = field_conv_banded(x, t, zon, sph, ph, 1)
         return jnp.sum(y * y)
 
     INNER = 10

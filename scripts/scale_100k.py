@@ -60,7 +60,21 @@ def main():
     mesh = TriMesh(v, f)
     sample_idx = np.arange(N)
     cache = os.environ.get("SCALE_CACHE", "/tmp/scale100k_cache.npz")
-    if cache and os.path.exists(cache):
+    if int(os.environ.get("SCALE_FAKE_PRECOMP", "0")):
+        # kernel-timing-only mode: keep the REAL graph structure (radius
+        # graph on the real surface, kd order, panel occupancy) but fill
+        # the stencil values randomly — the VHM solve contributes nothing
+        # to kernel timing and costs ~22 min at this N
+        r = np.random.default_rng(0)
+        E = len(edges)
+        lm = r.uniform(0.0, 0.9 * eps, E)
+        la = r.uniform(-np.pi, np.pi, E)
+        xpc = np.exp(1j * r.uniform(-np.pi, np.pi, E))
+        w = r.uniform(0.1, 1.0, N)
+        print(json.dumps({"stage": "precompute_tiled",
+                          "seconds": "FAKE (timing-only structure)"}),
+              flush=True)
+    elif cache and os.path.exists(cache):
         z = np.load(cache)
         lm, la, xpc, w = z["lm"], z["la"], z["xp"], z["w"]
         print(json.dumps({"stage": "precompute_tiled", "seconds": "cached"}),
@@ -161,6 +175,46 @@ def main():
                           "ms_per_step": round(dt * 1e3, 2),
                           "medges_per_s": round(edges_n / dt / 1e6)}),
               flush=True)
+
+        if compact is not None and int(os.environ.get("SCALE_OP_COMPACT",
+                                                      "1")):
+            # same protocol through the compact-layout conv (the block vs
+            # compact A/B at the north-star sparsity)
+            from fieldconv_tpu.ops.pallas.band_conv import field_conv_compact
+
+            compact_dd = jax.device_put(compact)
+
+            def loss_cp(x, t):
+                y = field_conv_compact(x, t, zon, sph, ph, 1)
+                return jnp.sum(y * y)
+
+            @jax.jit
+            def steps_cp(x, t):
+                def body(x, _):
+                    dx = jax.grad(loss_cp)(x, t)
+                    return dx * jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-8), ()
+                xf, _ = jax.lax.scan(body, x, None, length=INNER)
+                return xf, jnp.sum(xf)
+
+            t0 = time.time()
+            xf, s = steps_cp(x0, compact_dd)
+            float(s)
+            print(json.dumps({"stage": "compact_compile+first",
+                              "seconds": round(time.time() - t0, 1)}),
+                  flush=True)
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                xf, s = steps_cp(x0, compact_dd)
+                float(s)
+                ts.append((time.time() - t0) / INNER)
+            dt = sorted(ts)[1]
+            print(json.dumps({"stage": "fwd_bwd_step_tpu_compact",
+                              "n_pad": int(Np),
+                              "ms_per_step": round(dt * 1e3, 2),
+                              "medges_per_s": round(edges_n / dt / 1e6)}),
+                  flush=True)
+            del compact_dd
 
     compact_d = jax.device_put(compact) if compact is not None else None
     if int(os.environ.get("SCALE_MODEL", "0")):
