@@ -2401,10 +2401,12 @@ def field_conv_banded(x, banded, zonal, spherical, phase, ftype,
     from ...precomp.banded import CompactPanelTable
 
     if isinstance(banded, CompactPanelTable):
-        raise TypeError(
-            "field_conv_banded runs on block layouts (BandedTable / "
-            "CompressedBandedTable / PanelTable); for the compact layout "
-            "use field_conv_compact(x, comp, ...).")
+        # route to the compact-layout kernel: at 163k it is both faster
+        # (64.4 vs 74.0 ms fwd+bwd) and 5.7x smaller (0.97 vs 5.54 GB) —
+        # docs/SCALE_100K.json; block panels win at dense/production
+        # shapes, so the presets keep them below the compact threshold
+        return field_conv_compact(x, banded, zonal, spherical, phase,
+                                  ftype, precision)
     g = rotated_source_tensor_kmajor(x, banded.band_limit)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 banded.band_limit)

@@ -59,6 +59,15 @@ class ExperimentConfig:
     # gather's scatter-add transpose dominated the lift, KERNEL_NOTES.md) or
     # "gather" (padded-CSR path; also the fallback when banded_tb is unset).
     lift_impl: str = "banded"
+    # Conv table in the pure-panel (>=panel_threshold) layout: "panel"
+    # (block (TB,TB) panels) or "compact" (the gathered-column
+    # CompactPanelTable the ECHO/lift kernels use — ONE table then serves
+    # every op: measured faster at 163k, 64.4 vs 74.0 ms fwd+bwd per conv,
+    # with 5.7x less stencil memory and a 15x faster build,
+    # docs/SCALE_100K.json; block panels stay the dense-shape optimum).
+    # "compact" requires echo_impl="compact".  Ignored below the
+    # panel threshold (the mixed banded-conv route).
+    conv_impl: str = "panel"
     # Stencil layout for the Pallas paths: "banded" (dense ±nh block window
     # — fastest when the window fits, O(N^1.5) memory), "panel" (panel-CSR,
     # memory scales with the actual (tgt,src)-block panel count — the only
@@ -91,6 +100,14 @@ class ExperimentConfig:
             raise ValueError(
                 f"layout must be 'auto'/'banded'/'panel', got "
                 f"{self.layout!r}")
+        if self.conv_impl not in ("panel", "compact"):
+            raise ValueError(
+                f"conv_impl must be 'panel' or 'compact', got "
+                f"{self.conv_impl!r}")
+        if self.conv_impl == "compact" and self.echo_impl != "compact":
+            raise ValueError(
+                "conv_impl='compact' runs the whole model off one "
+                "CompactPanelTable and requires echo_impl='compact'")
         if self.ftype not in (0, 1, 2):
             raise ValueError(f"ftype must be 0/1/2, got {self.ftype}")
 

@@ -118,6 +118,9 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
             batches.append(stack_batch(
                 items, panel_tb=banded_tb,
                 echo_compact=(config.echo_impl == "compact"
+                              and echo_task),
+                conv_compact=(config.conv_impl == "compact"
+                              and config.echo_impl == "compact"
                               and echo_task)))
         else:
             batches.append(stack_batch(items, banded_tb=banded_tb,

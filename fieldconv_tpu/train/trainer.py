@@ -69,7 +69,8 @@ def stack_batch(items, banded_tb: Optional[int] = None,
                 echo_banded: bool = False,
                 panel_tb: Optional[int] = None,
                 echo_panel: bool = False,
-                echo_compact: bool = False) -> MeshBatch:
+                echo_compact: bool = False,
+                conv_compact: bool = False) -> MeshBatch:
     """Stack (pos, table, label) triples sharing bucket shapes.
 
     banded_tb: when set, also build + stack BandedTables (Pallas conv path)
@@ -93,7 +94,11 @@ def stack_batch(items, banded_tb: Optional[int] = None,
         if banded_tb is not None:
             raise ValueError("pass banded_tb or panel_tb, not both")
         return _stack_batch_panel(poss, tables, labels, panel_tb,
-                                  echo_compact=echo_compact)
+                                  echo_compact=echo_compact,
+                                  conv_compact=conv_compact)
+    if conv_compact:
+        raise ValueError("conv_compact is a pure-panel-layout option "
+                         "(pass panel_tb)")
     t0 = tables[0]
     stacked = EdgeTable(
         src=jnp.stack([t.src for t in tables]),
@@ -155,10 +160,15 @@ def stack_batch(items, banded_tb: Optional[int] = None,
 
 
 def _stack_batch_panel(poss, tables, labels, panel_tb: int,
-                       echo_compact: bool = False) -> MeshBatch:
+                       echo_compact: bool = False,
+                       conv_compact: bool = False) -> MeshBatch:
     """Panel-layout batch: stacked EdgeTable + a list of PanelTables;
     echo_compact additionally builds per-mesh CompactPanelTables so ECHO +
-    lift run the compacted-column layout while the convs keep panels."""
+    lift run the compacted-column layout while the convs keep panels;
+    conv_compact (requires echo_compact) routes the CONVS through the
+    same CompactPanelTable too — ONE table serves every op (measured
+    faster at 163k with 5.7x less stencil memory, docs/SCALE_100K.json),
+    and the block-panel build is skipped entirely."""
     t0 = tables[0]
     stacked = EdgeTable(
         src=jnp.stack([t.src for t in tables]),
@@ -172,14 +182,19 @@ def _stack_batch_panel(poss, tables, labels, panel_tb: int,
         band_limit=t0.band_limit,
         n_rings=t0.n_rings,
     )
-    panels = [build_panel_table(t, tb=panel_tb, compressed=True)
-              for t in tables]
+    if conv_compact and not echo_compact:
+        raise ValueError("conv_compact requires echo_compact")
     compacts = None
     if echo_compact:
         from ..precomp.banded import build_compact_panel_table
 
         compacts = [build_compact_panel_table(t, tb=min(panel_tb, 32))
                     for t in tables]
+    if conv_compact:
+        panels = compacts       # the same objects: no duplicate arrays
+    else:
+        panels = [build_panel_table(t, tb=panel_tb, compressed=True)
+                  for t in tables]
     return MeshBatch(
         pos=jnp.stack([jnp.asarray(p, jnp.float32) for p in poss]),
         table=stacked,

@@ -96,18 +96,29 @@ def main():
     table = build_edge_table(edges_r, lm, la, w_r, xpc,
                              N, B, R, eps, n_multiple=TB)
     compressed = os.environ.get("SCALE_COMPRESSED", "1") != "0"
-    panel = build_panel_table(table, tb=TB, compressed=compressed, chunk=CH)
-    if os.environ.get("SCALE_STEN_BF16", "0") != "0":
-        from fieldconv_tpu.precomp.banded import cast_panel_sten
+    conv_impl = os.environ.get("SCALE_CONV_IMPL", "panel")
+    panel = None
+    if conv_impl != "compact":
+        panel = build_panel_table(table, tb=TB, compressed=compressed,
+                                  chunk=CH)
+        if os.environ.get("SCALE_STEN_BF16", "0") != "0":
+            from fieldconv_tpu.precomp.banded import cast_panel_sten
 
-        panel = cast_panel_sten(panel)
-    t_band = time.time() - t0
-    sten_gb = panel.sten.size * panel.sten.dtype.itemsize / 1e9
-    nb = table.n_pad // TB
-    print(json.dumps({"stage": "panel_table", "seconds": round(t_band, 1),
-                      "chunk": CH, "n_panels": int(panel.n_panels),
-                      "panels_per_block": round(panel.n_panels / nb, 1),
-                      "stencil_gb": round(sten_gb, 2)}), flush=True)
+            panel = cast_panel_sten(panel)
+        t_band = time.time() - t0
+        sten_gb = panel.sten.size * panel.sten.dtype.itemsize / 1e9
+        nb = table.n_pad // TB
+        print(json.dumps({"stage": "panel_table",
+                          "seconds": round(t_band, 1),
+                          "chunk": CH, "n_panels": int(panel.n_panels),
+                          "panels_per_block": round(panel.n_panels / nb, 1),
+                          "stencil_gb": round(sten_gb, 2)}), flush=True)
+    else:
+        # all-compact mode: the block-panel table is never built — ONE
+        # CompactPanelTable serves every op (the 5.54 GB / 98 s block
+        # build disappears from the pipeline)
+        print(json.dumps({"stage": "panel_table", "skipped":
+                          "conv_impl=compact"}), flush=True)
 
     compact = None
     if os.environ.get("SCALE_COMPACT_TABLE", "1") != "0":
@@ -132,10 +143,10 @@ def main():
     from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
     rng = np.random.default_rng(0)
     Np = table.n_pad
-    panel_d = jax.device_put(panel)
+    panel_d = jax.device_put(panel) if panel is not None else None
     edges_n = float(np.asarray(table.mask, np.float64).sum())
 
-    if int(os.environ.get("SCALE_OP", "1")):
+    if int(os.environ.get("SCALE_OP", "1")) and panel_d is not None:
         C = O = 16
         x0 = jnp.asarray(np.stack([rng.normal(size=(Np, C)),
                                    rng.normal(size=(Np, C))], -1),
@@ -220,7 +231,13 @@ def main():
     if int(os.environ.get("SCALE_MODEL", "0")):
         run_full_model(panel_d, table, edges_n, rng, compact=compact_d)
     if int(os.environ.get("SCALE_DECOMP", "0")):
-        run_decomp(panel_d, table, rng, compact=compact_d)
+        if panel_d is None:
+            print(json.dumps({"stage": "decomp",
+                              "skipped": "needs the block panel table "
+                              "(unset SCALE_CONV_IMPL=compact)"}),
+                  flush=True)
+        else:
+            run_decomp(panel_d, table, rng, compact=compact_d)
     print(json.dumps({"stage": "total",
                       "seconds": round(time.time() - t_all, 1)}), flush=True)
 
@@ -343,8 +360,12 @@ def run_full_model(panel, table, edges_n, rng, compact=None):
                             n_rings=table.n_rings,
                             echo_panel_chunk=echo_pc, remat_blocks=True)
     # lift + ECHO run on the compacted layout when available (3x less
-    # dead-slot work); the convs stay on the block-panel table
+    # dead-slot work); SCALE_CONV_IMPL=compact routes the convs through
+    # it too (field_conv_banded dispatches on the table type)
     comp_tbl = panel if compact is None else compact
+    if compact is not None and \
+            os.environ.get("SCALE_CONV_IMPL", "panel") == "compact":
+        panel = compact
     t0 = time.time()
     # NOTE: the panel table rides as a jit ARGUMENT everywhere (closures
     # inline the 5.5GB stencil as a stablehlo constant — module blowup)

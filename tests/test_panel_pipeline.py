@@ -98,6 +98,40 @@ def test_fit_trains_through_panel_compact_pair(rng):
     assert final is not None and 0.0 <= final <= 1.0
 
 
+def test_fit_trains_through_all_compact(rng):
+    """Pure-panel layout with conv_impl='compact' + echo_impl='compact':
+    ONE CompactPanelTable serves every op (convs included — the measured
+    163k optimum, docs/SCALE_100K.json); the block-panel build is skipped
+    (batch.panel IS batch.compact) and fit() trains end-to-end."""
+    from fieldconv_tpu.precomp.banded import CompactPanelTable
+    from fieldconv_tpu.train.config import ExperimentConfig
+    from fieldconv_tpu.train.loop import fit, make_batches
+
+    recs = _seg_records(rng)
+    config = ExperimentConfig(
+        task="segmentation", band_limit=1, n_rings=2, nf=4, n_des=4,
+        n_bins=2, epochs=2, smoothing=0.2, log_every=1,
+        layout="panel", echo_impl="compact", conv_impl="compact")
+    batches = make_batches(recs, config, batch_size=1, banded_tb=8)
+    b = batches[0]
+    assert b.banded is None
+    assert all(isinstance(p, CompactPanelTable) for p in b.panel)
+    assert all(p is c for p, c in zip(b.panel, b.compact))
+
+    net, state, final = fit(config, recs, test_records=recs[:1],
+                            n_classes=4, batch_size=1, banded_tb=8)
+    assert int(np.asarray(state.step)) == 2 * len(recs)
+    assert final is not None and 0.0 <= final <= 1.0
+
+
+def test_conv_impl_compact_requires_echo_compact():
+    from fieldconv_tpu.train.config import ExperimentConfig
+
+    with pytest.raises(ValueError, match="echo_impl"):
+        ExperimentConfig(task="segmentation", conv_impl="compact",
+                         echo_impl="panel")
+
+
 def test_fit_trains_through_compact(rng):
     """fit() end-to-end with echo_impl='compact': mixed batches carry a
     BandedTable for the convs and per-mesh CompactPanelTables for ECHO +
