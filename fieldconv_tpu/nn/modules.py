@@ -56,8 +56,16 @@ class FieldConv(lnn.Module):
         if self.axis_name is not None:
             if banded is None:
                 raise ValueError("graph-parallel FieldConv requires a banded table")
-            from ..precomp.banded import PanelShards
+            from ..precomp.banded import CompactShards, PanelShards
 
+            if isinstance(banded, CompactShards):
+                # all-compact multi-chip path: one sharded
+                # CompactPanelTable serves conv + ECHO + lift
+                from ..parallel.panel_gp import field_conv_compact_gp
+
+                return field_conv_compact_gp(
+                    x, banded, zonal, spherical, phase, self.ftype,
+                    self.axis_name)
             if isinstance(banded, PanelShards):
                 # panel-sharded multi-chip path (parallel/panel_gp.py)
                 from ..parallel.panel_gp import field_conv_panel_gp

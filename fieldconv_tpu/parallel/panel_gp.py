@@ -21,6 +21,7 @@ when it does not.  The reference has no distributed code at all
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +137,36 @@ def trans_field_compact_gp(x, shard: CompactShards, lift_cols,
         panel_chunk=panel_chunk, x_src=x_full)
 
 
+def field_conv_compact_gp(x, shard: CompactShards, zonal, spherical, phase,
+                          ftype, axis_name: str, precision: str = "f32"):
+    """Shard-local compact-layout field convolution:
+    (N_local, C, 2) -> (N_local, O, 2).
+
+    all_gathers the rotated-source tensor and contracts the shard's
+    compact panels (LOCAL target blocks, GLOBAL gathered source columns).
+    The kernel's backward folds the per-panel disjoint dG blocks with a
+    segment_sum over GLOBAL indices into a full-length dG with exact
+    zeros at unreferenced rows; the all_gather's AD transpose
+    psum_scatters it onto the owners — same structure as
+    :func:`trans_field_compact_gp`, no coverage mask needed."""
+    from ..ops.field_conv import filter_coefficients
+    from ..ops.pallas.band_conv import (_band_compact, filters_to_wmat,
+                                        rotated_source_tensor_kmajor)
+
+    local = local_compact_shard(shard)
+    g = rotated_source_tensor_kmajor(x, shard.band_limit)
+    g_full = jax.lax.all_gather(g, axis_name, axis=0, tiled=True)
+    coeff = filter_coefficients(zonal, spherical, phase, ftype,
+                                shard.band_limit)
+    wmat = filters_to_wmat(coeff)
+    y2 = _band_compact(
+        g_full, wmat, local.sten, local.meta, local.src_idx.reshape(-1),
+        local.tb, local.ts, local.n_rings, local.band_limit,
+        local.compressed, precision, x.shape[0])
+    O = wmat.shape[-1] // 2
+    return jnp.stack([y2[:, :O], y2[:, O:]], axis=-1)
+
+
 def echo_compact_gp(x, shard: CompactShards, n_bins: int, axis_name: str,
                     cc: int = 8):
     """Shard-local compact-layout ECHO: all_gather the tangent features,
@@ -204,17 +235,34 @@ jax.tree_util.register_dataclass(
 )
 
 
-def panel_gp_batch(pos, table, labels, shards: PanelShards,
+def panel_gp_batch(pos, table, labels, shards: Optional[PanelShards],
                    compact_shards: CompactShards = None) -> PanelGPBatch:
     """Assemble a PanelGPBatch from one mesh's (pos, EdgeTable, labels) and
     its shard_panel_table output; pass shard_compact_table's output as
-    ``compact_shards`` for the mixed conv-panel + compact-ECHO/lift mode."""
+    ``compact_shards`` for the mixed conv-panel + compact-ECHO/lift mode.
+    ``shards=None`` (requires compact_shards) is the ALL-COMPACT mode: one
+    sharded CompactPanelTable serves every op — the conv routes through
+    field_conv_compact_gp and the block-panel shards are never built."""
     kw = {}
     if compact_shards is not None:
         kw = dict(csten=compact_shards.sten, cmeta=compact_shards.meta,
                   csrc_idx=compact_shards.src_idx,
                   c_tb=compact_shards.tb, c_ts=compact_shards.ts,
                   c_compressed=compact_shards.compressed)
+    if shards is None:
+        if compact_shards is None:
+            raise ValueError("pass shards and/or compact_shards")
+        return PanelGPBatch(
+            pos=jnp.asarray(pos, jnp.float32),
+            vmask=jnp.asarray(table.vmask), labels=jnp.asarray(labels),
+            sten=None, meta=None, meta_s=None, coverage=None,
+            tb=compact_shards.tb, n_pad=compact_shards.n_pad,
+            n_local=compact_shards.n_local,
+            band_limit=compact_shards.band_limit,
+            n_rings=compact_shards.n_rings,
+            compressed=compact_shards.compressed,
+            n_valid=table.n_valid, **kw,
+        )
     return PanelGPBatch(
         pos=jnp.asarray(pos, jnp.float32), vmask=jnp.asarray(table.vmask),
         labels=jnp.asarray(labels),
@@ -236,11 +284,15 @@ def place_panel_gp_batch(b: PanelGPBatch, mesh: Mesh) -> PanelGPBatch:
         kw = dict(csten=put(b.csten, ns(g)), cmeta=put(b.cmeta, ns(g)),
                   csrc_idx=put(b.csrc_idx, ns(g)),
                   c_tb=b.c_tb, c_ts=b.c_ts, c_compressed=b.c_compressed)
+    pkw = dict(sten=None, meta=None, meta_s=None, coverage=None)
+    if b.sten is not None:
+        pkw = dict(sten=put(b.sten, ns(g)), meta=put(b.meta, ns(g)),
+                   meta_s=put(b.meta_s, ns(g)),
+                   coverage=put(b.coverage, ns(g)))
     return PanelGPBatch(
         pos=put(b.pos, ns(g)), vmask=put(b.vmask, ns(g)),
         labels=put(b.labels, ns(g if b.labels.ndim else P())),
-        sten=put(b.sten, ns(g)), meta=put(b.meta, ns(g)),
-        meta_s=put(b.meta_s, ns(g)), coverage=put(b.coverage, ns(g)),
+        **pkw,
         tb=b.tb, n_pad=b.n_pad, n_local=b.n_local,
         band_limit=b.band_limit, n_rings=b.n_rings,
         compressed=b.compressed, n_valid=b.n_valid, **kw,
@@ -257,17 +309,22 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
     from .gp import VertexMeta, _mask_to_shard0
 
     task = config.task
-    mixed = meta.csten is not None
+    all_compact = meta.sten is None     # one CompactShards serves every op
+    mixed = meta.csten is not None and not all_compact
 
-    def loss_fn(params, key, pos, vmask, labels, sten, m, m_s, cov,
-                *cargs):
-        sh = local_shard(PanelShards(
-            sten=sten, meta=m, meta_s=m_s, coverage=cov,
-            tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
-            band_limit=meta.band_limit, n_rings=meta.n_rings,
-            compressed=meta.compressed))
-        if mixed:
-            csten, cmeta, csrc = cargs
+    def loss_fn(params, key, pos, vmask, labels, *targs):
+        i = 0
+        sh = None
+        if not all_compact:
+            sten, m, m_s, cov = targs[:4]
+            i = 4
+            sh = local_shard(PanelShards(
+                sten=sten, meta=m, meta_s=m_s, coverage=cov,
+                tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
+                band_limit=meta.band_limit, n_rings=meta.n_rings,
+                compressed=meta.compressed))
+        if meta.csten is not None:
+            csten, cmeta, csrc = targs[i:i + 3]
             comp_sh = CompactShards(
                 sten=csten, meta=cmeta, src_idx=csrc,
                 tb=meta.c_tb, n_pad=meta.n_pad, n_local=meta.n_local,
@@ -275,6 +332,8 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
                 compressed=meta.c_compressed, ts=meta.c_ts)
         else:
             comp_sh = sh
+        if all_compact:
+            sh = comp_sh
         vm = VertexMeta(vmask=vmask, n_valid=meta.n_valid,
                         band_limit=meta.band_limit, n_rings=meta.n_rings)
         ka, kdrop = jax.random.split(key)
@@ -312,20 +371,22 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
 
     g = P("graph")
     label_spec = g if meta.labels.ndim else P()
+    n_tbl = (0 if all_compact else 4) + (3 if meta.csten is not None else 0)
     smapped = jax.shard_map(
         loss_fn, mesh=mesh,
-        in_specs=(P(), P(), g, g, label_spec, g, g, g, g)
-        + ((g, g, g) if mixed else ()),
+        in_specs=(P(), P(), g, g, label_spec) + (g,) * n_tbl,
         out_specs=P(),
         check_vma=False,
     )
 
     def value_and_grad(params, key, b: PanelGPBatch):
-        cargs = (b.csten, b.cmeta, b.csrc_idx) if mixed else ()
+        targs = () if all_compact else (b.sten, b.meta, b.meta_s,
+                                        b.coverage)
+        if b.csten is not None:
+            targs += (b.csten, b.cmeta, b.csrc_idx)
 
         def wrapped(p):
-            return smapped(p, key, b.pos, b.vmask, b.labels, b.sten,
-                           b.meta, b.meta_s, b.coverage, *cargs)
+            return smapped(p, key, b.pos, b.vmask, b.labels, *targs)
 
         return jax.value_and_grad(wrapped)(params)
 

@@ -240,3 +240,79 @@ def test_compact_gp_echo_lift_match_single_device(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_all_compact_gp_full_model_matches_single_device(rng):
+    """ALL-COMPACT graph parallelism: the FULL model with ONE sharded
+    CompactPanelTable serving every op (convs via field_conv_compact_gp,
+    lift + ECHO via the compact gp paths; the block-panel shards are
+    never built) == the single-device all-compact path: loss and all
+    parameter grads."""
+    import jax.numpy as jnp
+    from fieldconv_tpu.models import CorrespondenceNet
+    from fieldconv_tpu.parallel.panel_gp import (
+        make_panel_gp_value_and_grad, panel_gp_batch, place_panel_gp_batch)
+    from fieldconv_tpu.precomp.banded import (build_compact_panel_table,
+                                              shard_compact_table)
+    from fieldconv_tpu.train.config import ExperimentConfig
+
+    n_shards = 4
+    B, R = 1, 3
+    g = random_graph(rng, n_vertices=96, avg_deg=5, B=B, R=R, epsilon=0.5)
+    pos_full = rng.normal(size=(g["n_vertices"], 3))
+    perm = kd_order(pos_full, tb=8)
+    edges_r, w, pos_r = reorder_precompute(perm, g["edges"], g["w"],
+                                           pos_full)
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], g["n_vertices"], B, R,
+                             g["epsilon"], n_multiple=8 * n_shards)
+    compact = build_compact_panel_table(table, tb=8, ts=8)
+    cshards = shard_compact_table(compact, n_shards)
+
+    N = table.n_pad
+    pos = np.zeros((N, 3), np.float32)
+    pos[:table.n_valid] = pos_r[:table.n_valid]
+    labels = np.full(N, -1, np.int32)
+    labels[:table.n_valid] = rng.integers(0, 7, table.n_valid)
+    n_classes = 7
+    net1 = CorrespondenceNet(n_classes=n_classes, nf=6, n_des=4,
+                             n_bins=2, band_limit=B, n_rings=R,
+                             dropout=0.0)
+    netg = net1.clone(axis_name="graph")
+    config = ExperimentConfig(task="correspondence", band_limit=B,
+                              n_rings=R, random_rotate_deg=0.0,
+                              random_scale=None, echo_impl="compact",
+                              conv_impl="compact")
+
+    params = net1.init(jax.random.key(0), pos, table)
+    key = jax.random.key(7)
+
+    def loss1(params):
+        out = net1.apply(params, pos, table, compact, compact)
+        valid = labels >= 0
+        safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(out, axis=-1)
+        per = -jnp.take_along_axis(logp, safe[:, None], 1)[:, 0]
+        per = jnp.where(valid, per, 0.0)
+        return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1)
+
+    want_l, want_g = jax.value_and_grad(loss1)(params)
+
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    b = panel_gp_batch(pos, table, labels, None, compact_shards=cshards)
+    assert b.sten is None and b.csten is not None
+    b = place_panel_gp_batch(b, mesh)
+    vag = make_panel_gp_value_and_grad(netg, config, n_classes, mesh, b)
+    with mesh:
+        got_l, got_g = jax.jit(vag)(params, key, b)
+
+    np.testing.assert_allclose(float(got_l), float(want_l),
+                               rtol=1e-5, atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(want_g)
+    flatg = dict(jax.tree_util.tree_leaves_with_path(got_g))
+    assert len(flat1) == len(flatg)
+    for path, leaf in flat1:
+        np.testing.assert_allclose(
+            np.asarray(flatg[path]), np.asarray(leaf),
+            rtol=1e-3, atol=2e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
