@@ -36,6 +36,12 @@ def parse_args(argv=None):
                    choices=["onehot", "banded", "panel", "compact"],
                    help="ECHO implementation (presets pick the measured "
                         "optimum; 'compact' is the >=20k-vertex layout)")
+    p.add_argument("--conv-impl", default=None,
+                   choices=["panel", "compact"],
+                   help="conv table in the pure-panel layout: 'compact' "
+                        "runs the whole model off ONE CompactPanelTable "
+                        "(5.7x less table memory, no block-panel build; "
+                        "requires --echo-impl compact)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log", default=None, help="metrics JSONL path")
     p.add_argument("--seed", type=int, default=0)
@@ -83,6 +89,8 @@ def main(argv=None):
             overrides["layout"] = args.layout
         if args.echo_impl:
             overrides["echo_impl"] = args.echo_impl
+        if args.conv_impl:
+            overrides["conv_impl"] = args.conv_impl
         if args.panel_threshold is not None:
             overrides["panel_threshold"] = args.panel_threshold
         if overrides:
