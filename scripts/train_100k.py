@@ -63,12 +63,19 @@ def main():
     edges_r, w_r = reorder_precompute(perm, edges, w)
     table = build_edge_table(edges_r, lm, la, w_r, xpc,
                              N, B, R, eps, n_multiple=TB)
-    panel = build_panel_table(table, tb=TB, compressed=True)
-    if os.environ.get("T100K_BF16", "1") != "0":
-        panel = cast_panel_sten(panel)
     # compacted-column layout for ECHO + lift (docs/KERNEL_NOTES.md r4:
-    # echo 1,825 -> 411 ms at 163k with TBt=32); 0 falls back to panels
+    # echo 1,825 -> 411 ms at 163k with TBt=32); 0 falls back to panels.
+    # T100K_CONV_IMPL=compact runs the CONVS off the same table too (the
+    # memory/startup mode: no block-panel build, 0.97 GB total tables,
+    # ~+10% step time at nf=32 — docs/SCALE_100K.json)
     ctb = int(os.environ.get("T100K_COMPACT_TB", "32"))
+    all_compact = (os.environ.get("T100K_CONV_IMPL", "panel") == "compact"
+                   and ctb)
+    panel = None
+    if not all_compact:
+        panel = build_panel_table(table, tb=TB, compressed=True)
+        if os.environ.get("T100K_BF16", "1") != "0":
+            panel = cast_panel_sten(panel)
     comp = panel
     if ctb:
         from fieldconv_tpu.precomp.banded import build_compact_panel_table
@@ -76,9 +83,12 @@ def main():
         comp = build_compact_panel_table(table, tb=ctb)
         if os.environ.get("T100K_BF16", "1") != "0":
             comp = cast_panel_sten(comp)
+    if all_compact:
+        panel = comp
     v_r = v[perm]
     print(json.dumps({"stage": "tables", "n_pad": table.n_pad,
                       "n_panels": int(panel.n_panels),
+                      "all_compact": bool(all_compact),
                       "sten_gb": round(
                           panel.sten.size * panel.sten.dtype.itemsize / 1e9,
                           2)}), flush=True)
