@@ -310,7 +310,6 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
 
     task = config.task
     all_compact = meta.sten is None     # one CompactShards serves every op
-    mixed = meta.csten is not None and not all_compact
 
     def loss_fn(params, key, pos, vmask, labels, *targs):
         i = 0

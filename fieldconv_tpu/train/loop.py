@@ -82,6 +82,18 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
         warnings.warn(f"echo_impl={config.echo_impl!r} needs banded_tb; "
                       "falling back to the XLA one-hot ECHO for this run")
         config = dataclasses.replace(config, echo_impl="onehot")
+    if config.conv_impl == "compact" and not (
+            config.echo_impl == "compact" and echo_task):
+        # the all-compact conv rides the ECHO/lift CompactPanelTable; when
+        # that table isn't built (non-ECHO task, or echo_impl != 'compact',
+        # incl. the onehot fallback above) the flag would silently do
+        # nothing — say so instead of quietly running block panels
+        import warnings
+
+        warnings.warn(
+            "conv_impl='compact' requires echo_impl='compact' on an ECHO "
+            f"task (task={config.task!r}, echo_impl={config.echo_impl!r}); "
+            "the convs will run on the block-panel/banded layout")
     if config.echo_impl == "banded" and echo_task and banded_tb is None:
         raise ValueError(
             "config.echo_impl='banded' requires banded_tb: the gather-free "

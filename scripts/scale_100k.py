@@ -42,6 +42,12 @@ def main():
                                               reorder_precompute)
     from fieldconv_tpu.precomp.stencil import build_edge_table
 
+    if os.environ.get("SCALE_CONV_IMPL", "panel") == "compact" and \
+            os.environ.get("SCALE_COMPACT_TABLE", "1") == "0":
+        raise SystemExit(
+            "SCALE_CONV_IMPL=compact needs the compact table: unset "
+            "SCALE_COMPACT_TABLE=0 (otherwise SCALE_MODEL would init with "
+            "no tables at all)")
     t_all = time.time()
     subdiv = int(os.environ.get("SCALE_SUBDIV", "7"))
     TB = int(os.environ.get("SCALE_TB", "128"))

@@ -69,6 +69,11 @@ def main():
     # memory/startup mode: no block-panel build, 0.97 GB total tables,
     # ~+10% step time at nf=32 — docs/SCALE_100K.json)
     ctb = int(os.environ.get("T100K_COMPACT_TB", "32"))
+    if os.environ.get("T100K_CONV_IMPL", "panel") == "compact" and not ctb:
+        raise SystemExit(
+            "T100K_CONV_IMPL=compact needs the compact table; unset "
+            "T100K_COMPACT_TB=0 (the all-compact route runs every op off "
+            "that one table)")
     all_compact = (os.environ.get("T100K_CONV_IMPL", "panel") == "compact"
                    and ctb)
     panel = None

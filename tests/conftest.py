@@ -18,8 +18,21 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import shutil
+import subprocess
+
 import numpy as np
 import pytest
+
+# Build the native geometry core once per session so tests/test_native.py
+# runs instead of green-skipping on a clean checkout.  No compiler → the
+# skip marker stays honest; a FAILED build with a compiler present is a
+# loud error, not a skip.
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "fieldconv_tpu", "geometry", "csrc")
+if not os.path.exists(os.path.join(_CSRC, "libgeomcore.so")):
+    if shutil.which(os.environ.get("CXX", "g++")) and shutil.which("make"):
+        subprocess.run(["make", "-C", _CSRC], check=True)
 
 
 @pytest.fixture
