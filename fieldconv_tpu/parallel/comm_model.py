@@ -43,6 +43,33 @@ def echo_panel_bytes(n_pad: int, n_local: int, channels: int,
     return {"fwd_all_gather": per, "bwd_reduce_scatter": per}
 
 
+def conv_compact_halo_bytes(h: int, n_shards: int, channels: int,
+                            f: int = 4) -> dict:
+    """field_conv_compact_gp over CompactHaloShards (boundary-compressed):
+    forward all_to_all of the (S, H) RAW-feature row buffers (H × 2C each;
+    the rotated-source tensor is recomputed on the received rows, so the
+    K-fold g width never rides the wire); the AD transpose moves the same
+    volume back.  Wire bytes per device: the S-1 remote buffers."""
+    per = (n_shards - 1) * h * 2 * channels * f
+    return {"fwd_all_to_all": per, "bwd_all_to_all": per}
+
+
+def lift_compact_halo_bytes(h: int, n_shards: int, channels: int = 3,
+                            f: int = 4) -> dict:
+    """trans_field_compact_gp over CompactHaloShards: all_to_all of the
+    (S, H) scalar-feature row buffers."""
+    per = (n_shards - 1) * h * channels * f
+    return {"fwd_all_to_all": per, "bwd_all_to_all": per}
+
+
+def echo_compact_halo_bytes(h: int, n_shards: int, channels: int,
+                            f: int = 4) -> dict:
+    """echo_compact_gp over CompactHaloShards: all_to_all of the (S, H)
+    tangent-feature row buffers (H × C × 2)."""
+    per = (n_shards - 1) * h * channels * 2 * f
+    return {"fwd_all_to_all": per, "bwd_all_to_all": per}
+
+
 def conv_halo_bytes(nh: int, tb: int, band_limit: int, channels: int,
                     f: int = 4) -> dict:
     """halo_field_conv (parallel/halo.py): two ppermutes (left + right
@@ -83,6 +110,27 @@ def correspondence_panel_step_bytes(n_pad: int, n_local: int,
     ag += lift["fwd_all_gather"] + echo["fwd_all_gather"]
     rs += echo["bwd_reduce_scatter"]
     return {"all_gather": ag, "reduce_scatter": rs, "total": ag + rs}
+
+
+def correspondence_compact_halo_step_bytes(h: int, n_shards: int,
+                                           nf: int = 32, n_des: int = 12,
+                                           f: int = 4) -> dict:
+    """Wire bytes per device for ONE fwd+bwd training step of the full
+    correspondence net over boundary-compressed compact shards (the
+    all-compact 163k multi-chip mode with CompactHaloShards).  The lift
+    has no backward all_to_all: training differentiates w.r.t. params,
+    never w.r.t. the gathered positions (same structure as the panel
+    enumeration, asserted against compiled HLO in
+    tests/test_comm_model.py)."""
+    a2a = 0
+    for c in correspondence_conv_channels(nf):
+        b = conv_compact_halo_bytes(h, n_shards, c, f)
+        a2a += b["fwd_all_to_all"] + b["bwd_all_to_all"]
+    lift = lift_compact_halo_bytes(h, n_shards, 3, f)
+    echo = echo_compact_halo_bytes(h, n_shards, n_des, f)
+    a2a += lift["fwd_all_to_all"]
+    a2a += echo["fwd_all_to_all"] + echo["bwd_all_to_all"]
+    return {"all_to_all": a2a, "total": a2a}
 
 
 def scaling_efficiency(compute_s_1dev: float, n_shards: int,

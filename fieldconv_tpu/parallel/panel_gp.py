@@ -28,7 +28,36 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..precomp.banded import CompactPanelTable, CompactShards, PanelShards
+from ..precomp.banded import (CompactHaloShards, CompactPanelTable,
+                              CompactShards, PanelShards)
+
+
+def halo_exchange(x, send_idx, axis_name: str):
+    """Boundary-compressed row exchange: one all_to_all of (S, H)
+    row-buffers instead of an all_gather of all N rows.
+
+    x: (n_local, ...) this shard's rows; send_idx: (S, H) LOCAL rows to
+    send to each peer (the local row of a CompactHaloShards.send_idx —
+    pad slots repeat row 0, the receiver never references them; the
+    self slot (s, s) rides the local copy, not the wire).  Returns the
+    extended-domain rows [local ++ halo] of shape (n_local + S·H, ...)
+    that the remapped ``src_idx`` indexes.  The AD transpose is the
+    reversed all_to_all plus a halo-sized scatter-add onto the owner
+    rows — the same compressed volume back.
+    """
+    S, H = send_idx.shape
+    send = jnp.take(x, send_idx.reshape(-1), axis=0)
+    send = send.reshape((S, H) + x.shape[1:])
+    recv = jax.lax.all_to_all(send, axis_name, 0, 0)
+    return jnp.concatenate([x, recv.reshape((S * H,) + x.shape[1:])], axis=0)
+
+
+def _gather_rows(x, shard, axis_name: str):
+    """Route a compact-gp op's source rows: boundary-compressed exchange
+    when the shard carries halo tables, full all_gather otherwise."""
+    if isinstance(shard, CompactHaloShards):
+        return halo_exchange(x, shard.send_idx[0], axis_name)
+    return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
 
 
 def field_conv_panel_gp(x, shard: PanelShards, zonal, spherical, phase,
@@ -131,7 +160,7 @@ def trans_field_compact_gp(x, shard: CompactShards, lift_cols,
     it onto the owners — no coverage mask needed."""
     from ..ops.trans_field import trans_field_compact_contrib
 
-    x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    x_full = _gather_rows(x, shard, axis_name)
     return trans_field_compact_contrib(
         x, local_compact_shard(shard), lift_cols=lift_cols,
         panel_chunk=panel_chunk, x_src=x_full)
@@ -154,8 +183,14 @@ def field_conv_compact_gp(x, shard: CompactShards, zonal, spherical, phase,
                                         rotated_source_tensor_kmajor)
 
     local = local_compact_shard(shard)
-    g = rotated_source_tensor_kmajor(x, shard.band_limit)
-    g_full = jax.lax.all_gather(g, axis_name, axis=0, tiled=True)
+    if isinstance(shard, CompactHaloShards):
+        # exchange the RAW feature rows (2C wide) and rotate the received
+        # boundary rows locally — K× fewer wire bytes than exchanging g
+        x_ext = halo_exchange(x, shard.send_idx[0], axis_name)
+        g_full = rotated_source_tensor_kmajor(x_ext, shard.band_limit)
+    else:
+        g = rotated_source_tensor_kmajor(x, shard.band_limit)
+        g_full = jax.lax.all_gather(g, axis_name, axis=0, tiled=True)
     coeff = filter_coefficients(zonal, spherical, phase, ftype,
                                 shard.band_limit)
     wmat = filters_to_wmat(coeff)
@@ -174,7 +209,7 @@ def echo_compact_gp(x, shard: CompactShards, n_bins: int, axis_name: str,
     transpose structure as :func:`trans_field_compact_gp`."""
     from ..ops.pallas.echo_panel import echo_panel_pallas
 
-    x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    x_full = _gather_rows(x, shard, axis_name)
     return echo_panel_pallas(x, local_compact_shard(shard), n_bins, cc=cc,
                              x_src=x_full, n_out=x.shape[0])
 
@@ -224,12 +259,15 @@ class PanelGPBatch:
     c_tb: int = 0
     c_ts: int = 0
     c_compressed: bool = True
+    # boundary-compressed exchange (CompactHaloShards): when set, csrc_idx
+    # is ext-domain and every compact-gp collective is the halo all_to_all
+    csend_idx: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(
     PanelGPBatch,
     data_fields=["pos", "vmask", "labels", "sten", "meta", "meta_s",
-                 "coverage", "csten", "cmeta", "csrc_idx"],
+                 "coverage", "csten", "cmeta", "csrc_idx", "csend_idx"],
     meta_fields=["tb", "n_pad", "n_local", "band_limit", "n_rings",
                  "compressed", "n_valid", "c_tb", "c_ts", "c_compressed"],
 )
@@ -249,6 +287,8 @@ def panel_gp_batch(pos, table, labels, shards: Optional[PanelShards],
                   csrc_idx=compact_shards.src_idx,
                   c_tb=compact_shards.tb, c_ts=compact_shards.ts,
                   c_compressed=compact_shards.compressed)
+        if isinstance(compact_shards, CompactHaloShards):
+            kw["csend_idx"] = compact_shards.send_idx
     if shards is None:
         if compact_shards is None:
             raise ValueError("pass shards and/or compact_shards")
@@ -284,6 +324,8 @@ def place_panel_gp_batch(b: PanelGPBatch, mesh: Mesh) -> PanelGPBatch:
         kw = dict(csten=put(b.csten, ns(g)), cmeta=put(b.cmeta, ns(g)),
                   csrc_idx=put(b.csrc_idx, ns(g)),
                   c_tb=b.c_tb, c_ts=b.c_ts, c_compressed=b.c_compressed)
+        if b.csend_idx is not None:
+            kw["csend_idx"] = put(b.csend_idx, ns(g))
     pkw = dict(sten=None, meta=None, meta_s=None, coverage=None)
     if b.sten is not None:
         pkw = dict(sten=put(b.sten, ns(g)), meta=put(b.meta, ns(g)),
@@ -310,6 +352,7 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
 
     task = config.task
     all_compact = meta.sten is None     # one CompactShards serves every op
+    halo = meta.csend_idx is not None   # boundary-compressed collectives
 
     def loss_fn(params, key, pos, vmask, labels, *targs):
         i = 0
@@ -324,11 +367,15 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
                 compressed=meta.compressed))
         if meta.csten is not None:
             csten, cmeta, csrc = targs[i:i + 3]
-            comp_sh = CompactShards(
+            ckw = dict(
                 sten=csten, meta=cmeta, src_idx=csrc,
                 tb=meta.c_tb, n_pad=meta.n_pad, n_local=meta.n_local,
                 band_limit=meta.band_limit, n_rings=meta.n_rings,
                 compressed=meta.c_compressed, ts=meta.c_ts)
+            if halo:
+                comp_sh = CompactHaloShards(send_idx=targs[i + 3], **ckw)
+            else:
+                comp_sh = CompactShards(**ckw)
         else:
             comp_sh = sh
         if all_compact:
@@ -370,7 +417,9 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
 
     g = P("graph")
     label_spec = g if meta.labels.ndim else P()
-    n_tbl = (0 if all_compact else 4) + (3 if meta.csten is not None else 0)
+    n_tbl = (0 if all_compact else 4)
+    if meta.csten is not None:
+        n_tbl += 4 if halo else 3
     smapped = jax.shard_map(
         loss_fn, mesh=mesh,
         in_specs=(P(), P(), g, g, label_spec) + (g,) * n_tbl,
@@ -383,6 +432,8 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
                                         b.coverage)
         if b.csten is not None:
             targs += (b.csten, b.cmeta, b.csrc_idx)
+            if halo:
+                targs += (b.csend_idx,)
 
         def wrapped(p):
             return smapped(p, key, b.pos, b.vmask, b.labels, *targs)

@@ -928,6 +928,118 @@ def shard_compact_table(compact: CompactPanelTable,
     )
 
 
+@dataclasses.dataclass
+class CompactHaloShards(CompactShards):
+    """CompactShards with BOUNDARY-COMPRESSED collectives.
+
+    The plain compact gp all_gathers the full O(N) feature rows every
+    layer — its own zero-overlap projection lands 8 all-DCN shards at
+    78.5%, below the >=80% BASELINE bar (docs/KERNEL_NOTES.md r4).  But
+    ``src_idx`` already names exactly which global rows each shard
+    references, and with kd-ordered contiguous shards that set is mostly
+    shard-local: only the boundary rows need the wire.  Here the
+    referenced-row sets are resolved at BUILD time into
+
+      send_idx (S, S, H) int32 — [owner, requester, k]: the LOCAL row
+        (in the owner's [0, n_local)) the owner contributes as the
+        requester's k-th halo row from it; pad slots repeat row 0 and
+        are never referenced by the requester;
+      src_idx — REMAPPED into each shard's extended domain
+        [0, n_local) local rows ++ [n_local + o*H + k) halo rows,
+
+    so the runtime exchange is one all_to_all of (S, H) row-buffers
+    (parallel/panel_gp.py::halo_exchange) instead of an all_gather of all
+    N rows — H/n_local is the boundary fraction, ~2-6% at the 163k
+    north-star config.  The AD transpose (all_to_all reversed + a halo-
+    sized scatter-add) moves the same compressed volume back; N-shard
+    values and grads stay exactly equal to 1 device
+    (tests/test_panel_gp.py).  The reference has no distributed code at
+    all (SURVEY.md §2.14b); this is the framework's own design axis.
+    """
+
+    send_idx: jnp.ndarray = None
+
+    @property
+    def h(self) -> int:
+        return self.send_idx.shape[-1]
+
+
+jax.tree_util.register_dataclass(
+    CompactHaloShards,
+    data_fields=["sten", "meta", "src_idx", "send_idx"],
+    meta_fields=["tb", "n_pad", "n_local", "band_limit", "n_rings",
+                 "compressed", "ts"],
+)
+
+
+def halo_compact_shards(shards: CompactShards,
+                        h_multiple: int = 8) -> CompactHaloShards:
+    """Resolve a CompactShards' referenced-row sets into the boundary-
+    compressed exchange tables (see CompactHaloShards).
+
+    h_multiple pads H (the per-peer halo row count) for clean tiling."""
+    S = shards.n_shards
+    nl = shards.n_local
+    src = np.asarray(shards.src_idx)                 # (S, P, TS) global rows
+    need = {}
+    hmax = 1
+    for s in range(S):
+        refs = np.unique(src[s])
+        owners = refs // nl
+        for o in range(S):
+            if o == s:
+                continue
+            rows = refs[owners == o]
+            need[s, o] = rows
+            hmax = max(hmax, len(rows))
+    H = -(-hmax // h_multiple) * h_multiple
+    send_idx = np.zeros((S, S, H), np.int32)
+    new_src = np.empty_like(src)
+    for s in range(S):
+        lut = np.zeros(shards.n_pad, np.int64)
+        lut[s * nl:(s + 1) * nl] = np.arange(nl)
+        for o in range(S):
+            if o == s:
+                continue
+            rows = need[s, o]
+            lut[rows] = nl + o * H + np.arange(len(rows))
+            send_idx[o, s, :len(rows)] = rows - o * nl
+        new_src[s] = lut[src[s]]
+    return CompactHaloShards(
+        sten=shards.sten, meta=shards.meta,
+        src_idx=jnp.asarray(new_src), send_idx=jnp.asarray(send_idx),
+        tb=shards.tb, n_pad=shards.n_pad, n_local=shards.n_local,
+        band_limit=shards.band_limit, n_rings=shards.n_rings,
+        compressed=shards.compressed, ts=shards.ts,
+    )
+
+
+def compact_halo_stats(shards: CompactShards) -> dict:
+    """Boundary statistics of a sharded compact table: how many of each
+    shard's referenced rows are remote (what halo_compact_shards will
+    move) vs the n_pad rows the plain all_gather moves."""
+    S, nl = shards.n_shards, shards.n_local
+    src = np.asarray(shards.src_idx)
+    per_pair = []
+    per_shard = []
+    for s in range(S):
+        refs = np.unique(src[s])
+        owners = refs // nl
+        remote = refs[owners != s]
+        per_shard.append(len(remote))
+        for o in range(S):
+            if o != s:
+                per_pair.append(int(np.sum(owners == o)))
+    h = max(per_pair, default=0)
+    return {
+        "n_shards": S, "n_local": nl, "h_max": h,
+        "pair_rows_mean": float(np.mean(per_pair)) if per_pair else 0.0,
+        "remote_rows_per_shard": per_shard,
+        "boundary_fraction": float(np.mean(per_shard)) / max(nl, 1),
+        "halo_vs_gather": (S - 1) * h / max(shards.n_pad - nl, 1),
+    }
+
+
 def shard_panel_table(panel: PanelTable, n_shards: int) -> PanelShards:
     """Split a global PanelTable by contiguous target-block ranges.
 

@@ -18,7 +18,7 @@ from fieldconv_tpu.parallel import comm_model as cm
 
 _COLL = re.compile(
     r"=\s+(\([^)]*\)|f32\[[\d,]*\]\S*)\s+"
-    r"(all-gather|reduce-scatter|collective-permute)\(")
+    r"(all-gather|reduce-scatter|collective-permute|all-to-all)\(")
 _SHAPE = re.compile(r"f32\[([\d,]*)\]")
 
 
@@ -28,9 +28,12 @@ def collective_wire_bytes(txt: str, n_shards: int) -> dict:
     all-gather result = the FULL buffer: a device receives the (S-1)/S it
     does not own.  reduce-scatter result = the local shard: a device
     receives S-1 partial copies of it.  collective-permute result = the
-    block sent/received per instruction.  Tuple results (XLA's
-    all-gather-combiner) contribute every member."""
-    out = {"all_gather": 0, "reduce_scatter": 0, "ppermute": 0}
+    block sent/received per instruction.  all-to-all result = the full
+    (S, H, ...) buffer, of which the self slot stays local: a device
+    sends/receives (S-1)/S.  Tuple results (XLA's combiners) contribute
+    every member."""
+    out = {"all_gather": 0, "reduce_scatter": 0, "ppermute": 0,
+           "all_to_all": 0}
     for m in _COLL.finditer(txt):
         kind = m.group(2)
         for sm in _SHAPE.finditer(m.group(1)):
@@ -41,6 +44,9 @@ def collective_wire_bytes(txt: str, n_shards: int) -> dict:
                 out["all_gather"] += (n - n // n_shards) * 4
             elif kind == "reduce-scatter":
                 out["reduce_scatter"] += n * (n_shards - 1) * 4
+            elif kind == "all-to-all":
+                assert n % n_shards == 0
+                out["all_to_all"] += (n - n // n_shards) * 4
             else:
                 out["ppermute"] += n * 4
     return out
@@ -231,3 +237,58 @@ def test_correspondence_mixed_compact_step_bytes(rng):
                                               n_des)
     assert got["all_gather"] == want["all_gather"], (got, want)
     assert got["reduce_scatter"] == want["reduce_scatter"], (got, want)
+
+
+def test_correspondence_all_compact_halo_step_bytes(rng):
+    """The ALL-COMPACT model over CompactHaloShards: the compiled step's
+    collectives are ONLY all_to_alls, at the boundary-compressed byte
+    counts (17 convs exchanging RAW 2C-wide rows + lift fwd + echo
+    fwd+bwd) — no O(N) all_gather or reduce_scatter anywhere.  The 163k
+    >=90% @ 8 DCN shards projection in docs/KERNEL_NOTES.md rests on
+    this enumeration."""
+    from fieldconv_tpu.models import CorrespondenceNet
+    from fieldconv_tpu.parallel.panel_gp import (
+        make_panel_gp_value_and_grad, panel_gp_batch, place_panel_gp_batch)
+    from fieldconv_tpu.precomp.banded import (build_compact_panel_table,
+                                              halo_compact_shards,
+                                              kd_order, reorder_precompute,
+                                              shard_compact_table)
+    from fieldconv_tpu.precomp.stencil import build_edge_table
+    from fieldconv_tpu.train.config import ExperimentConfig
+
+    n_shards, B, R, nf, n_des = 4, 1, 3, 8, 6
+    g = random_graph(rng, n_vertices=64, avg_deg=5, B=B, R=R, epsilon=0.5)
+    perm = kd_order(rng.normal(size=(64, 3)), tb=8)
+    edges_r, w = reorder_precompute(perm, g["edges"], g["w"])
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], 64, B, R, 0.5, n_multiple=8)
+    compact = build_compact_panel_table(table, tb=8, ts=8)
+    cshards = halo_compact_shards(shard_compact_table(compact, n_shards),
+                                  h_multiple=4)
+    N = table.n_pad
+    pos = np.zeros((N, 3), np.float32)
+    labels = np.zeros(N, np.int32)
+
+    config = ExperimentConfig(task="correspondence", band_limit=B,
+                              n_rings=R, random_rotate_deg=0.0,
+                              random_scale=None, echo_impl="compact",
+                              conv_impl="compact")
+    net = CorrespondenceNet(n_classes=5, nf=nf, n_des=n_des, n_bins=2,
+                            band_limit=B, n_rings=R, dropout=0.0,
+                            axis_name="graph")
+    params = net.clone(axis_name=None).init(
+        jax.random.key(0), pos, table)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    b = place_panel_gp_batch(
+        panel_gp_batch(pos, table, labels, None,
+                       compact_shards=cshards), mesh)
+    vag = make_panel_gp_value_and_grad(net, config, 5, mesh, b)
+    with mesh:
+        txt = jax.jit(vag).lower(
+            params, jax.random.key(0), b).compile().as_text()
+    got = collective_wire_bytes(txt, n_shards)
+    want = cm.correspondence_compact_halo_step_bytes(
+        cshards.h, n_shards, nf, n_des)
+    assert got["all_to_all"] == want["all_to_all"], (got, want)
+    assert got["all_gather"] == 0 and got["reduce_scatter"] == 0, got
+    assert got["ppermute"] == 0, got

@@ -171,16 +171,21 @@ def test_panel_gp_full_model_matches_single_device(rng, task):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
-def test_compact_gp_echo_lift_match_single_device(rng):
+@pytest.mark.parametrize("halo", [False, True])
+def test_compact_gp_echo_lift_match_single_device(rng, halo):
     """Compact-layout graph parallelism: 4-shard ECHO + lift == 1-device
     values and grads (global-row segment_sum dX + all_gather transpose —
-    no coverage mask, no by-source view)."""
+    no coverage mask, no by-source view).  halo=True runs the boundary-
+    compressed exchange (CompactHaloShards: all_to_all of only the
+    referenced remote rows) instead of the full all_gather."""
     from fieldconv_tpu.ops.pallas.echo_panel import echo_panel_pallas
     from fieldconv_tpu.ops.trans_field import trans_field_compact_contrib
     from fieldconv_tpu.parallel.panel_gp import (echo_compact_gp,
                                                  trans_field_compact_gp)
-    from fieldconv_tpu.precomp.banded import (CompactShards,
+    from fieldconv_tpu.precomp.banded import (CompactHaloShards,
+                                              CompactShards,
                                               build_compact_panel_table,
+                                              halo_compact_shards,
                                               shard_compact_table)
 
     n_shards = 4
@@ -193,6 +198,8 @@ def test_compact_gp_echo_lift_match_single_device(rng):
                              g["epsilon"], n_multiple=8)
     compact = build_compact_panel_table(table, tb=8, ts=8)
     shards = shard_compact_table(compact, n_shards)
+    if halo:
+        shards = halo_compact_shards(shards, h_multiple=4)
     N, C = table.n_pad, 4
 
     z = rng.normal(size=(N, C)) + 1j * rng.normal(size=(N, C))
@@ -211,27 +218,31 @@ def test_compact_gp_echo_lift_match_single_device(rng):
     mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
     gp = P("graph")
 
-    def loss_gp(xe_l, xs_l, sten, meta, src_idx):
-        sh = CompactShards(
+    def loss_gp(xe_l, xs_l, sten, meta, src_idx, *send):
+        kw = dict(
             sten=sten, meta=meta, src_idx=src_idx,
             tb=shards.tb, n_pad=shards.n_pad, n_local=shards.n_local,
             band_limit=shards.band_limit, n_rings=shards.n_rings,
             compressed=shards.compressed, ts=shards.ts)
+        sh = CompactHaloShards(send_idx=send[0], **kw) if send \
+            else CompactShards(**kw)
         h = echo_compact_gp(xe_l, sh, 2, "graph", cc=2)
         a, m = trans_field_compact_gp(xs_l, sh, (1, 2), "graph")
         return jax.lax.psum(
             jnp.sum(jnp.sin(h)) + jnp.sum(jnp.sin(a)) + jnp.sum(m * m),
             "graph")
 
+    extra = (shards.send_idx,) if halo else ()
     smapped = jax.shard_map(
         loss_gp, mesh=mesh,
-        in_specs=(gp, gp, gp, gp, gp),
+        in_specs=(gp, gp, gp, gp, gp) + (gp,) * len(extra),
         out_specs=P(),
         check_vma=False,
     )
 
     def wrapped(xe, xs):
-        return smapped(xe, xs, shards.sten, shards.meta, shards.src_idx)
+        return smapped(xe, xs, shards.sten, shards.meta, shards.src_idx,
+                       *extra)
 
     with mesh:
         l2, g2 = jax.value_and_grad(wrapped, argnums=(0, 1))(xe, xs)
@@ -242,17 +253,21 @@ def test_compact_gp_echo_lift_match_single_device(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
-def test_all_compact_gp_full_model_matches_single_device(rng):
+@pytest.mark.parametrize("halo", [False, True])
+def test_all_compact_gp_full_model_matches_single_device(rng, halo):
     """ALL-COMPACT graph parallelism: the FULL model with ONE sharded
     CompactPanelTable serving every op (convs via field_conv_compact_gp,
     lift + ECHO via the compact gp paths; the block-panel shards are
     never built) == the single-device all-compact path: loss and all
-    parameter grads."""
+    parameter grads.  halo=True runs every collective boundary-compressed
+    (CompactHaloShards; the conv exchanges RAW feature rows and rotates
+    the received boundary rows locally)."""
     import jax.numpy as jnp
     from fieldconv_tpu.models import CorrespondenceNet
     from fieldconv_tpu.parallel.panel_gp import (
         make_panel_gp_value_and_grad, panel_gp_batch, place_panel_gp_batch)
     from fieldconv_tpu.precomp.banded import (build_compact_panel_table,
+                                              halo_compact_shards,
                                               shard_compact_table)
     from fieldconv_tpu.train.config import ExperimentConfig
 
@@ -268,6 +283,8 @@ def test_all_compact_gp_full_model_matches_single_device(rng):
                              g["epsilon"], n_multiple=8 * n_shards)
     compact = build_compact_panel_table(table, tb=8, ts=8)
     cshards = shard_compact_table(compact, n_shards)
+    if halo:
+        cshards = halo_compact_shards(cshards, h_multiple=4)
 
     N = table.n_pad
     pos = np.zeros((N, 3), np.float32)
