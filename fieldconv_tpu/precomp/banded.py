@@ -1014,16 +1014,33 @@ def halo_compact_shards(shards: CompactShards,
     )
 
 
-def compact_halo_stats(shards: CompactShards) -> dict:
+def compact_halo_stats(shards, n_shards: int = None) -> dict:
     """Boundary statistics of a sharded compact table: how many of each
     shard's referenced rows are remote (what halo_compact_shards will
-    move) vs the n_pad rows the plain all_gather moves."""
-    S, nl = shards.n_shards, shards.n_local
-    src = np.asarray(shards.src_idx)
+    move) vs the n_pad rows the plain all_gather moves.
+
+    Accepts a CompactShards, or (CompactPanelTable, n_shards) to compute
+    directly from the global table without materializing per-shard
+    stencil copies (the stats need only src_idx and the block→shard
+    map)."""
+    if n_shards is None:
+        S, nl = shards.n_shards, shards.n_local
+        srcs = [np.asarray(shards.src_idx[s]) for s in range(S)]
+    else:
+        S = n_shards
+        nb = shards.n_pad // shards.tb
+        if nb % S:
+            raise ValueError(f"nb={nb} not divisible by n_shards={S}")
+        nbl = nb // S
+        nl = nbl * shards.tb
+        tgt = np.asarray(shards.meta[0])
+        src_all = np.asarray(shards.src_idx)
+        srcs = [src_all[(tgt >= s * nbl) & (tgt < (s + 1) * nbl)]
+                for s in range(S)]
     per_pair = []
     per_shard = []
     for s in range(S):
-        refs = np.unique(src[s])
+        refs = np.unique(srcs[s])
         owners = refs // nl
         remote = refs[owners != s]
         per_shard.append(len(remote))

@@ -99,8 +99,11 @@ def main():
     t0 = time.time()
     perm = kd_order(v, tb=TB)
     edges_r, w_r = reorder_precompute(perm, edges, w)
+    # pad rows so the compact-table block count divides the planned shard
+    # counts (e.g. 1024 = 32·32 keeps nb divisible through 16 shards)
+    nmult = int(os.environ.get("SCALE_NMULT", str(TB)))
     table = build_edge_table(edges_r, lm, la, w_r, xpc,
-                             N, B, R, eps, n_multiple=TB)
+                             N, B, R, eps, n_multiple=nmult)
     compressed = os.environ.get("SCALE_COMPRESSED", "1") != "0"
     conv_impl = os.environ.get("SCALE_CONV_IMPL", "panel")
     panel = None
@@ -141,6 +144,40 @@ def main():
             "stage": "compact_table", "seconds": round(time.time() - t0, 1),
             "tb": ctb, "n_panels": int(compact.n_panels),
             "stencil_gb": round(cgb, 2)}), flush=True)
+
+        if os.environ.get("SCALE_HALO_STATS", "0") != "0":
+            # boundary-compression measurement (CompactHaloShards): how
+            # many referenced rows are actually remote per shard pair at
+            # this kd-ordered 163k table — grounds the multi-host wire-
+            # byte projection in docs/KERNEL_NOTES.md
+            from fieldconv_tpu.parallel.comm_model import (
+                correspondence_compact_halo_step_bytes,
+                correspondence_panel_step_bytes)
+            from fieldconv_tpu.precomp.banded import compact_halo_stats
+
+            nb_c = table.n_pad // ctb
+            for S in (2, 4, 8, 16):
+                if nb_c % S:
+                    print(json.dumps({
+                        "stage": "halo_stats", "n_shards": S,
+                        "skipped": f"nb={nb_c} % {S} != 0 (pad with "
+                                   "SCALE_NMULT)"}), flush=True)
+                    continue
+                t0 = time.time()
+                st = compact_halo_stats(compact, S)
+                halo = correspondence_compact_halo_step_bytes(
+                    st["h_max"], S)["total"]
+                gather = correspondence_panel_step_bytes(
+                    table.n_pad, table.n_pad // S)["total"]
+                print(json.dumps({
+                    "stage": "halo_stats", "n_shards": S,
+                    "h_max": st["h_max"],
+                    "pair_rows_mean": round(st["pair_rows_mean"], 1),
+                    "boundary_fraction": round(st["boundary_fraction"], 4),
+                    "step_wire_gb_halo": round(halo / 1e9, 4),
+                    "step_wire_gb_gather": round(gather / 1e9, 3),
+                    "wire_reduction": round(gather / max(halo, 1), 1),
+                    "seconds": round(time.time() - t0, 1)}), flush=True)
 
     # on-chip step
     import jax

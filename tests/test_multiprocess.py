@@ -27,11 +27,12 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _launch(pid, nproc, port, nlocal):
+def _launch(pid, nproc, port, nlocal, mode="hybrid"):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     return subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port), str(nlocal)],
+        [sys.executable, WORKER, str(pid), str(nproc), str(port),
+         str(nlocal), mode],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         cwd=HERE)
 
@@ -53,6 +54,30 @@ def test_two_process_matches_single_process():
     port = _free_port()
     workers = [_launch(pid, 2, port, 4) for pid in range(2)]
     single = _launch(0, 1, port, 8)
+
+    res_mp = [_result(w) for w in workers]
+    res_1p = _result(single)
+
+    for r in res_mp:
+        np.testing.assert_allclose(r["loss"], res_1p["loss"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(r["gradsum"], res_1p["gradsum"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["graph_halo", "graph"])
+def test_graph_axis_across_processes(mode):
+    """The GRAPH axis itself spans the 2-process (DCN-class gloo)
+    boundary: the FULL all-compact correspondence model runs on a pure
+    ('graph',) mesh of 2×4 devices, so every per-layer collective — the
+    boundary-compressed halo all_to_alls (mode=graph_halo) or the full
+    all_gathers (mode=graph) — crosses OS processes.  Loss and grad-sum
+    must equal the 1-process × 8-device run (VERDICT r4 #2; BASELINE's
+    edge-partitioned-across-hosts north star)."""
+    port = _free_port()
+    workers = [_launch(pid, 2, port, 4, mode) for pid in range(2)]
+    single = _launch(0, 1, port, 8, mode)
 
     res_mp = [_result(w) for w in workers]
     res_1p = _result(single)
