@@ -44,7 +44,7 @@ class CorrespondenceNet(lnn.Module):
 
     @lnn.compact
     def __call__(self, pos, table: EdgeTable, banded=None, comp=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, dropout_mask=None):
         B, nf = self.band_limit, self.nf
         kw = dict(
             band_limit=B, n_rings=self.n_rings, ftype=self.ftype,
@@ -78,7 +78,13 @@ class CorrespondenceNet(lnn.Module):
             echo_panel_impl=self.echo_panel_impl, name="echo", **kw
         )(x, table, banded, comp)
         x = lnn.relu(Linear(nf, 256, name="lin1")(x))
-        x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)
+        if dropout_mask is not None:
+            # explicit-mask hook: training-dynamics parity tests inject the
+            # SAME Bernoulli realisation into this net and the torch
+            # reference (framework rngs are not comparable bit-for-bit)
+            x = x * dropout_mask / (1.0 - self.dropout)
+        else:
+            x = lnn.Dropout(self.dropout, deterministic=deterministic)(x)
         if self.return_features:
             return x
         return Linear(256, self.n_classes, name="lin2")(x)
