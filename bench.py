@@ -157,6 +157,89 @@ def build_synthetic_tables(N=8192, D=128, B=2, R=6, seed=0, bandwidth=128):
     )
 
 
+def compact_stage(banded_payload):
+    """North-star-scale stage (VERDICT r4 #4): measure the compact-layout
+    conv fwd+bwd at the REAL 163k mesh structure (icosphere subdiv 7 +
+    radius graph + kd order — the stencil VALUES are synthetic, exactly
+    like the banded stage's; throughput depends on structure, not values)
+    and emit a refined line carrying BOTH numbers.  The headline
+    metric/value/vs_baseline stay the banded dense-shape kernel for
+    cross-round continuity; the compact keys record scale progress.
+    Documented in BASELINE.md."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fieldconv_tpu.data.synthetic import icosphere
+    from fieldconv_tpu.geometry.sampling import radius_graph
+    from fieldconv_tpu.ops.pallas.band_conv import field_conv_compact
+    from fieldconv_tpu.precomp.banded import (build_compact_panel_table,
+                                              kd_order, reorder_precompute)
+    from fieldconv_tpu.precomp.pipeline import normalize_area
+    from fieldconv_tpu.precomp.stencil import build_edge_table
+    from fieldconv_tpu.utils.complexops import modrelu, soft_abs
+
+    subdiv = int(os.environ.get("BENCH_COMPACT_SUBDIV", "7"))
+    ctb = int(os.environ.get("BENCH_COMPACT_TB", "32"))
+    v, f = icosphere(subdiv=subdiv)
+    v = normalize_area(v, f)
+    N = len(v)
+    eps = float(np.sqrt(64 / (np.pi * N)))
+    edges = radius_graph(v, eps)
+    r = np.random.default_rng(0)
+    E = len(edges)
+    lm = r.uniform(0.0, 0.9 * eps, E)
+    la = r.uniform(-np.pi, np.pi, E)
+    xpc = np.exp(1j * r.uniform(-np.pi, np.pi, E))
+    w = r.uniform(0.1, 1.0, N)
+    B, R = 1, 3
+    perm = kd_order(v, tb=128)
+    edges_r, w_r = reorder_precompute(perm, edges, w)
+    table = build_edge_table(edges_r, lm, la, w_r, xpc, N, B, R, eps,
+                             n_multiple=128)
+    comp = jax.device_put(build_compact_panel_table(table, tb=ctb))
+    n_edges = float(np.asarray(table.mask, np.float64).sum())
+
+    C = O = 16
+    Np = table.n_pad
+    x = jnp.asarray(r.normal(size=(Np, C, 2)) * 0.5, jnp.float32)
+    zonal = jnp.asarray(r.normal(size=(O, C, R)) * 0.2, jnp.float32)
+    sph = jnp.asarray(r.normal(size=(O, C, R, B, 2)) * 0.2, jnp.float32)
+    phase = jnp.asarray(r.normal(size=(O, C, B + 1)) * 0.2, jnp.float32)
+    bias = jnp.zeros((O,), jnp.float32)
+
+    def fwd(x, comp):
+        y = field_conv_compact(x, comp, zonal, sph, phase, 1)
+        return jnp.sum(soft_abs(modrelu(y, bias)))
+
+    iters, reps = 10, 3
+
+    @jax.jit
+    def run_batch(x, comp):
+        def body(x, _):
+            dx = jax.grad(fwd)(x, comp)
+            return dx * jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-8) * 0.5, ()
+        xf, _ = jax.lax.scan(body, x, None, length=iters)
+        return xf, jnp.sum(xf)
+
+    xf, chk = run_batch(x, comp)
+    float(chk)                      # tunnel barrier
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        xf, chk = run_batch(xf, comp)
+        float(chk)
+        times.append((time.perf_counter() - t0) / iters)
+    dt = sorted(times)[reps // 2]
+    report({
+        **banded_payload,
+        "compact_conv_edges_per_s": round(n_edges / dt),
+        "compact_n_vertices": N,
+        "compact_ms_per_conv": round(dt * 1e3, 1),
+    })
+
+
 def main():
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
@@ -336,7 +419,7 @@ def main():
     loop_mode = os.environ.get("BENCH_LOOP", "device")
     iters, reps = 20, 5
 
-    def emit(dt):
+    def payload_for(dt):
         vs = 1.0
         base_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
@@ -345,12 +428,15 @@ def main():
                 base = json.load(f)
             if base.get("value"):
                 vs = edges / dt / base["value"]
-        report({
+        return {
             "metric": f"field_conv_fwd_bwd_edges_per_s_{impl}",
             "value": round(edges / dt),
             "unit": "edges/s",
             "vs_baseline": round(vs, 4),
-        })
+        }
+
+    def emit(dt):
+        report(payload_for(dt))
 
     # --- coarse stage: host-dispatched step, first number on record as soon
     # as the first compile lands (the refined scan protocol below overwrites
@@ -398,7 +484,20 @@ def main():
                 x, chk = step(x, zonal, sph, phase, bias, tbl_arg)
             float(chk)
             times.append((time.perf_counter() - t0) / iters)
-    emit(sorted(times)[reps // 2])
+    final = payload_for(sorted(times)[reps // 2])
+    do_compact = (impl == "banded"
+                  and os.environ.get("BENCH_COMPACT", "1") != "0")
+    if os.environ.get("BENCH_PROGRESS_FILE"):
+        report(final)            # banded-only on record first (crash-safe)
+        if do_compact:
+            compact_stage(final)   # appends the combined refined line
+    elif do_compact:
+        try:
+            compact_stage(final)   # stand-alone: exactly ONE line
+        except Exception:
+            report(final)
+    else:
+        report(final)
 
 
 if __name__ == "__main__":

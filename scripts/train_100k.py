@@ -171,9 +171,16 @@ def main():
         ok = jnp.sum(jnp.where(valid, pred == labels[:HCH], False))
         return ok / jnp.maximum(jnp.sum(valid), 1)
 
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "TRAIN_100K_r4.jsonl")
+    out_path = os.environ.get("T100K_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "TRAIN_100K_r5.jsonl")
     fout = open(out_path, "a")
+    # tag the run so one file never silently concatenates two configs
+    fout.write(json.dumps({
+        "run": {"conv_impl": os.environ.get("T100K_CONV_IMPL", "panel"),
+                "compact_tb": ctb, "steps": n_steps,
+                "bf16": os.environ.get("T100K_BF16", "1")}}) + "\n")
+    fout.flush()
     key = jax.random.key(1)
     t_start = time.time()
     for step in range(n_steps):
@@ -190,9 +197,12 @@ def main():
             print(json.dumps(rec), flush=True)
             fout.write(json.dumps(rec) + "\n")
             fout.flush()
-    print(json.dumps({"stage": "done", "steps": n_steps,
-                      "total_s": round(time.time() - t_start, 1)}),
-          flush=True)
+    done = {"stage": "done", "steps": n_steps,
+            "total_s": round(time.time() - t_start, 1),
+            "s_per_step_incl_probes": round(
+                (time.time() - t_start) / n_steps, 2)}
+    print(json.dumps(done), flush=True)
+    fout.write(json.dumps(done) + "\n")
     fout.close()
 
 

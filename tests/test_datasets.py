@@ -385,3 +385,116 @@ def test_shrec19_process_real_layout(tmp_path):
     assert pp.min() >= 0 and pp.max() < nS
     # source/target of one pair share the pair tag
     assert ds[0].keys[0][1] == ds[1].keys[0][1]
+
+
+# --- full-dress pipeline rehearsals (VERDICT r4 #6) -------------------------
+#
+# The fixture-archive tests above pin the LAYOUT semantics on tiny meshes;
+# the convergence demos (scripts/train_synthetic_shrec.py) build meshes
+# directly and bypass data/ entirely.  These two slow tests close the gap:
+# the full archive → _process → artifact cache → cli.main → held-out
+# metric path at the real per-mesh scale, so the only untested seam left
+# before real data is the download itself.
+
+def _class_shape(ci, inst_rng, subdiv=3):
+    """A mesh with CLASS-distinctive geometry (per-class bump pattern +
+    axis scaling) and small instance noise, at SHREC11's ~600-vertex
+    regime (subdiv 3 = 642 v)."""
+    v, f = icosphere(subdiv=subdiv)
+    fx, fy = 2 + ci % 5, 2 + (ci // 5) % 6
+    amp = 0.12 + 0.02 * (ci % 4)
+    r = 1.0 + amp * np.sin(fx * np.arctan2(v[:, 1], v[:, 0])) \
+        * np.cos(fy * np.arccos(np.clip(v[:, 2], -1, 1)))
+    v = v * r[:, None]
+    v = v * (1.0 + 0.15 * np.array([ci % 3, (ci + 1) % 3, (ci + 2) % 3]))
+    v = v + inst_rng.normal(scale=0.01, size=v.shape)
+    return v, f
+
+
+@pytest.mark.slow
+def test_shrec11_full_dress_rehearsal(tmp_path):
+    """ALL 30 classes at the real ~600-vertex scale through the genuine
+    zip layout: SHREC11.zip → _process (VHM precompute per mesh) →
+    artifact cache → cli --task classification → held-out accuracy well
+    above chance on never-seen meshes."""
+    from fieldconv_tpu.data.shrec11 import CLASS_NAMES
+    from fieldconv_tpu.train import cli
+
+    root = str(tmp_path / "shrec11")
+    rawdir = os.path.join(root, "raw")
+    os.makedirs(rawdir)
+    rng = np.random.default_rng(0)
+    n_train, n_test = 3, 1
+    with zipfile.ZipFile(os.path.join(rawdir, "SHREC11.zip"), "w") as z:
+        for ci, cname in enumerate(CLASS_NAMES):
+            for split, count in (("train", n_train), ("test", n_test)):
+                for k in range(count):
+                    v, f = _class_shape(ci, rng)
+                    z.writestr(f"SHREC11/{cname}/{split}/T{k}.obj",
+                               _obj_bytes(v, f))
+
+    metric = cli.main([
+        "--task", "classification", "--root", root, "--epochs", "3",
+        "--seed", "0",
+    ])
+    # 30-way chance is 3.3%; distinctive geometry should be far above it
+    assert metric is not None and metric >= 0.30, metric
+    # artifact cache: a re-instantiation must not reprocess (index reused)
+    from fieldconv_tpu.data import SHREC11
+
+    t0 = __import__("time").time()
+    tr = SHREC11(root, train=True, epsilon=0.2)
+    assert __import__("time").time() - t0 < 30, "cache miss on reload"
+    assert len(tr) == 30 * n_train
+
+
+@pytest.mark.slow
+def test_faustrm_full_dress_rehearsal(tmp_path):
+    """FAUSTRM composeMap labeling on a deformed-pair fixture with KNOWN
+    correspondence: scans are vertex-PERMUTED deformations of the
+    template, .vts maps are the genuine 1-indexed template→scan maps, so
+    the composed labels must recover each scan's permutation exactly;
+    then cli --task correspondence runs 2 epochs end-to-end."""
+    from fieldconv_tpu.train import cli
+
+    root = str(tmp_path / "faustrm")
+    rawdir = os.path.join(root, "raw")
+    os.makedirs(rawdir)
+    rng = np.random.default_rng(1)
+    v0, f0 = icosphere(subdiv=2)
+    nv = len(v0)
+    perms = []
+    with zipfile.ZipFile(os.path.join(rawdir, "FAUSTRM.zip"), "w") as z:
+        for i in range(5):
+            if i == 0:
+                p = np.arange(nv)          # tr_reg_000 IS the template
+                v = v0
+            else:
+                p = rng.permutation(nv)
+                v = (v0 * (1 + 0.1 * np.sin(3 * v0[:, 2]))[:, None]
+                     + rng.normal(scale=0.004, size=v0.shape))[p]
+            inv = np.empty(nv, np.int64)
+            inv[p] = np.arange(nv)         # template t sits at scan row inv[t]
+            perms.append(p)
+            fz = inv[f0]
+            z.writestr(f"shapes/tr_reg_{i:03d}.off", _off_bytes(v, fz))
+            z.writestr(f"labels/tr_reg_{i:03d}.vts",
+                       "\n".join(str(x + 1) for x in inv))
+
+    from fieldconv_tpu.data import FAUSTRM
+
+    train = FAUSTRM(root, train=True, epsilon=0.45)
+    test = FAUSTRM(root, train=False, epsilon=0.45)
+    assert len(train) == 4 and len(test) == 1
+    # composeMap must recover the exact permutation (bijective maps:
+    # label of scan row j is the template vertex that sits there); the
+    # record stores rows RCM-reordered, so compare through rcm_perm
+    for idx, r in enumerate(train.records()):
+        np.testing.assert_array_equal(
+            np.asarray(r.labels), perms[idx][np.asarray(r.rcm_perm)])
+
+    metric = cli.main([
+        "--task", "correspondence", "--root", root, "--epochs", "2",
+        "--seed", "0",
+    ])
+    assert metric is not None and np.isfinite(metric)
