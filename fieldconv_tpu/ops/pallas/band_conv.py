@@ -33,7 +33,6 @@ block.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -1951,82 +1950,6 @@ def _panel_accum_rect(g_ref, sten_ref, contrib, *, R, K, B, C, TBT, TBS,
         contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
 
 
-def _fwd_compact_pipe_kernel(meta_ref, g_ref, sten_hbm, w_ref, out_ref,
-                             contrib, raw, e_re, e_im, sem,
-                             *, R, K, B, C, TBT, TBS, O2,
-                             mxu_dtype=jnp.float32):
-    """Two-stage SOFTWARE-PIPELINED compact forward (the r3/r4 headroom
-    hypothesis, measured in round 5): panel p's K MXU matmul pairs read
-    the stencil EXPANDED during step p-1 from VMEM scratch; panel p+1's
-    raw 5-plane block (manually double-buffer-DMA'd from HBM, bypassing
-    the implicit grid pipeline for the stencil operand) is expanded on
-    the VPU between the matmul issues and their accumulation, so the
-    scheduler may hide the hat/phasor reconstruction under MXU latency.
-    Compressed tables only (the compact layout is always compressed)."""
-    f32 = jnp.float32
-    P = pl.num_programs(0)
-    p = pl.program_id(0)
-    cur = jax.lax.rem(p, 2)
-    nxt = jax.lax.rem(p + 1, 2)
-
-    def dma(slot, pid):
-        return pltpu.make_async_copy(sten_hbm.at[pid], raw.at[slot],
-                                     sem.at[slot])
-
-    def expand(slot):
-        rv = raw[slot, 0].astype(f32)
-        hats = _hats_from_r(rv, R)                       # (R, TBT, TBS)
-        pairs = _phasor_pairs(raw[slot, 3].astype(f32),
-                              raw[slot, 4].astype(f32),
-                              raw[slot, 1].astype(f32),
-                              raw[slot, 2].astype(f32), B)
-        for k, f_re, f_im in pairs:
-            e_re[slot, k] = (hats * f_re[None]).reshape(R * TBT, TBS)
-            e_im[slot, k] = (hats * f_im[None]).reshape(R * TBT, TBS)
-
-    @pl.when(p == 0)
-    def _():
-        d = dma(0, 0)
-        d.start()
-        d.wait()
-        expand(0)
-
-    @pl.when(p + 1 < P)
-    def _():
-        dma(nxt, p + 1).start()
-
-    @pl.when(meta_ref[2, p] == 1)
-    def _():
-        contrib[:] = jnp.zeros_like(contrib)
-
-    # stage A: issue this panel's matmuls from the pre-expanded stencil
-    C2 = 2 * C
-    parts = []
-    for k in range(K):
-        gj = g_ref[:, k * C2:(k + 1) * C2].astype(mxu_dtype)
-        pa = jnp.dot(e_re[cur, k].astype(mxu_dtype), gj,
-                     preferred_element_type=jnp.float32)
-        pb = jnp.dot(e_im[cur, k].astype(mxu_dtype), gj,
-                     preferred_element_type=jnp.float32)
-        parts.append((pa, pb))
-
-    # stage B: expand the NEXT panel (no data dependency on stage A)
-    @pl.when(p + 1 < P)
-    def _():
-        dma(nxt, p + 1).wait()
-        expand(nxt)
-
-    # stage C: fold stage A's results (waits on the MXU)
-    for k, (pa, pb) in enumerate(parts):
-        contrib[:, (2 * k) * C:(2 * k + 1) * C] += pa[:, :C] - pb[:, C:]
-        contrib[:, (2 * k + 1) * C:(2 * k + 2) * C] += pa[:, C:] + pb[:, :C]
-
-    @pl.when(meta_ref[3, p] == 1)
-    def _():
-        _apply_w(contrib, w_ref, out_ref, R=R, TB=TBT, O2=O2,
-                 mxu_dtype=mxu_dtype)
-
-
 def _fwd_compact_kernel(meta_ref, g_ref, sten_ref, w_ref, out_ref, contrib,
                         *, R, K, B, C, TBT, TBS, O2, compressed,
                         mxu_dtype=jnp.float32):
@@ -2100,40 +2023,6 @@ def _band_compact_fwd_impl(gg, wmat, sten, meta, tbt, tbs, n_rings,
     C = M // (2 * K)
     O2 = wmat.shape[-1]
     P, planes = sten.shape[0], sten.shape[1]
-
-    # FC_COMPACT_PIPE=1: the two-stage software-pipelined variant
-    # (manual stencil DMA + next-panel expansion between this panel's
-    # matmul issue and accumulation) — A/B'd in docs/KERNEL_NOTES.md r5.
-    if (os.environ.get("FC_COMPACT_PIPE", "0") == "1" and compressed
-            and not _interpret()):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(P,),
-            in_specs=[
-                pl.BlockSpec((tbs, M), lambda p, m: (p, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((R, M, O2), lambda p, m: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tbt, O2), lambda p, m: (m[0, p], 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((R * tbt, M), jnp.float32),
-                pltpu.VMEM((2, planes, tbt, tbs), sten.dtype),
-                pltpu.VMEM((2, K, R * tbt, tbs), jnp.float32),
-                pltpu.VMEM((2, K, R * tbt, tbs), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-        return pl.pallas_call(
-            functools.partial(_fwd_compact_pipe_kernel, R=R, K=K, B=B,
-                              C=C, TBT=tbt, TBS=tbs, O2=O2,
-                              mxu_dtype=_mxu_dtype(precision)),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_out, O2), jnp.float32),
-            compiler_params=_compiler_params(),
-        )(meta, gg, sten, wmat)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -186,7 +186,10 @@ def main():
     from fieldconv_tpu.ops.pallas.band_conv import field_conv_banded
     rng = np.random.default_rng(0)
     Np = table.n_pad
-    panel_d = jax.device_put(panel) if panel is not None else None
+    # all-compact mode: the op stage measures the conv off the compact
+    # table (field_conv_banded dispatches on the table type)
+    op_tbl = panel if panel is not None else compact
+    panel_d = jax.device_put(op_tbl) if op_tbl is not None else None
     edges_n = float(np.asarray(table.mask, np.float64).sum())
 
     if int(os.environ.get("SCALE_OP", "1")) and panel_d is not None:

@@ -397,16 +397,21 @@ def test_shrec19_process_real_layout(tmp_path):
 # before real data is the download itself.
 
 def _class_shape(ci, inst_rng, subdiv=3):
-    """A mesh with CLASS-distinctive geometry (per-class bump pattern +
-    axis scaling) and small instance noise, at SHREC11's ~600-vertex
-    regime (subdiv 3 = 642 v)."""
+    """A mesh with CLASS-distinctive GROSS geometry at SHREC11's
+    ~600-vertex regime (subdiv 3 = 642 v): a 6×5 grid of ellipsoid axis
+    ratios (plus a bump texture).  Gross shape, not texture, is what the
+    magnitude-pooled classification head separates — bump-only classes
+    keep the pooled logits constant at init and a 30-way softmax never
+    escapes chance (measured while building
+    scripts/train_synthetic_shrec.py, round 3)."""
     v, f = icosphere(subdiv=subdiv)
-    fx, fy = 2 + ci % 5, 2 + (ci // 5) % 6
-    amp = 0.12 + 0.02 * (ci % 4)
-    r = 1.0 + amp * np.sin(fx * np.arctan2(v[:, 1], v[:, 0])) \
-        * np.cos(fy * np.arccos(np.clip(v[:, 2], -1, 1)))
+    fx = 2 + ci % 5
+    r = 1.0 + 0.08 * np.sin(fx * np.arctan2(v[:, 1], v[:, 0])) \
+        * np.cos(fx * np.arccos(np.clip(v[:, 2], -1, 1)))
     v = v * r[:, None]
-    v = v * (1.0 + 0.15 * np.array([ci % 3, (ci + 1) % 3, (ci + 2) % 3]))
+    sx = 0.5 + 0.35 * (ci % 6)
+    sz = 0.5 + 0.45 * (ci // 6)
+    v = v * np.array([sx, 1.0, sz])
     v = v + inst_rng.normal(scale=0.01, size=v.shape)
     return v, f
 
