@@ -34,23 +34,31 @@ def main():
     from fieldconv_tpu.data.shrec11 import CLASS_NAMES
     from fieldconv_tpu.train import cli
 
-    root = os.environ.get("REHEARSE_ROOT", "/tmp/shrec11_dress642")
+    root = os.environ.get("REHEARSE_ROOT", "/tmp/shrec11_dress642x10")
     epochs = int(os.environ.get("REHEARSE_EPOCHS", "60"))
     tb = os.environ.get("REHEARSE_TB", "128")
     subdiv = int(os.environ.get("REHEARSE_SUBDIV", "3"))
+    # the reference split10 regime: 10 train meshes per class
+    # (datasets/SHREC11.py:115).  Per-class mesh count is decisive for the
+    # 30-way plateau escape: 3/class stayed at ln(30) for 27k steps while
+    # 6-way controls on the same data converged by step ~900 (measured
+    # this round).
+    n_train = int(os.environ.get("REHEARSE_NTRAIN", "10"))
+    n_test = int(os.environ.get("REHEARSE_NTEST", "2"))
     rawdir = os.path.join(root, "raw")
     if not os.path.isdir(rawdir):
         os.makedirs(rawdir)
         rng = np.random.default_rng(0)
         with zipfile.ZipFile(os.path.join(rawdir, "SHREC11.zip"), "w") as z:
             for ci, cname in enumerate(CLASS_NAMES):
-                for split, count in (("train", 3), ("test", 1)):
+                for split, count in (("train", n_train), ("test", n_test)):
                     for k in range(count):
                         v, f = _class_shape(ci, rng, subdiv=subdiv)
                         z.writestr(f"SHREC11/{cname}/{split}/T{k}.obj",
                                    _obj_bytes(v, f))
         print(json.dumps({"stage": "archive", "classes": 30,
-                          "train": 90, "test": 30}), flush=True)
+                          "train": 30 * n_train, "test": 30 * n_test}),
+              flush=True)
 
     t0 = time.time()
     args = ["--task", "classification", "--root", root,
