@@ -1048,13 +1048,27 @@ def compact_halo_stats(shards, n_shards: int = None) -> dict:
             if o != s:
                 per_pair.append(int(np.sum(owners == o)))
     h = max(per_pair, default=0)
-    return {
+    # compute-side balance: panels per shard (the kernel grid length each
+    # shard runs) — with the wire bytes boundary-compressed this spread,
+    # not communication, bounds multi-host efficiency
+    if n_shards is None:
+        panels = None     # stacked shards pad P equal; see the table form
+    else:
+        nbl = nb // S
+        tgt = np.asarray(shards.meta[0])
+        panels = [int(np.sum((tgt >= s * nbl) & (tgt < (s + 1) * nbl)))
+                  for s in range(S)]
+    out = {
         "n_shards": S, "n_local": nl, "h_max": h,
         "pair_rows_mean": float(np.mean(per_pair)) if per_pair else 0.0,
         "remote_rows_per_shard": per_shard,
         "boundary_fraction": float(np.mean(per_shard)) / max(nl, 1),
         "halo_vs_gather": (S - 1) * h / max(shards.n_pad - nl, 1),
     }
+    if panels:
+        out["panels_per_shard"] = panels
+        out["panel_imbalance"] = max(panels) / max(np.mean(panels), 1e-9)
+    return out
 
 
 def shard_panel_table(panel: PanelTable, n_shards: int) -> PanelShards:

@@ -177,6 +177,8 @@ def main():
                     "step_wire_gb_halo": round(halo / 1e9, 4),
                     "step_wire_gb_gather": round(gather / 1e9, 3),
                     "wire_reduction": round(gather / max(halo, 1), 1),
+                    "panel_imbalance": round(st.get("panel_imbalance", 1),
+                                             3),
                     "seconds": round(time.time() - t0, 1)}), flush=True)
 
     # on-chip step
