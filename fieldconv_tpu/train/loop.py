@@ -66,11 +66,18 @@ def resolve_layout(config: ExperimentConfig, n_pad: int) -> str:
 
 def make_batches(records: List[MeshRecord], config: ExperimentConfig,
                  batch_size: int = 1, banded_tb: Optional[int] = None,
-                 n_pad=None, d_slots=None):
+                 n_pad=None, d_slots=None,
+                 host_tables: Optional[bool] = None):
     """Group records into same-bucket MeshBatches.
 
     banded_tb also serves as the panel target-block size when the layout
-    resolves to 'panel' (config.layout / panel_threshold)."""
+    resolves to 'panel' (config.layout / panel_threshold).
+
+    host_tables: keep the per-mesh stencil tables on the HOST (CPU
+    backend) instead of committing them to the accelerator at build time
+    — the jitted step then streams each batch H2D per call.  None (auto)
+    switches to host residency when the estimated total exceeds
+    FIT_TABLE_BUDGET_GB (default 4)."""
     echo_task = config.task in ("segmentation", "correspondence")
     if config.echo_impl in ("panel", "compact") and echo_task \
             and banded_tb is None:
@@ -114,9 +121,7 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
                  and not echo_compact and (
                      (config.echo_impl == "banded" and echo_task)
                      or config.lift_impl == "banded"))
-    batches = []
-    for lo in range(0, len(records), batch_size):
-        group = records[lo:lo + batch_size]
+    def build_group(group):
         items = []
         for r in group:
             table = r.table(config.band_limit, config.n_rings,
@@ -127,19 +132,40 @@ def make_batches(records: List[MeshRecord], config: ExperimentConfig,
             # pure-panel layout: echo_impl='compact' pairs the block
             # PanelTables (convs) with per-mesh CompactPanelTables
             # (ECHO + lift) — the measured >=20k-vertex optimum
-            batches.append(stack_batch(
+            return stack_batch(
                 items, panel_tb=banded_tb,
                 echo_compact=(config.echo_impl == "compact"
                               and echo_task),
                 conv_compact=(config.conv_impl == "compact"
                               and config.echo_impl == "compact"
-                              and echo_task)))
-        else:
-            batches.append(stack_batch(items, banded_tb=banded_tb,
-                                       echo_banded=need_comp,
-                                       echo_panel=echo_panel,
-                                       echo_compact=echo_compact))
-    return batches
+                              and echo_task))
+        return stack_batch(items, banded_tb=banded_tb,
+                           echo_banded=need_comp,
+                           echo_panel=echo_panel,
+                           echo_compact=echo_compact)
+
+    groups = [records[lo:lo + batch_size]
+              for lo in range(0, len(records), batch_size)]
+    first = build_group(groups[0])
+    if host_tables is None:
+        # residency budget: per-mesh block tables are ~44 MB at the
+        # ~600-vertex SHREC11 regime, and committing EVERY mesh's table
+        # to the accelerator at build time exhausts a 16 GB chip near
+        # ~350 meshes (measured on the full-dress rehearsal).  Above the
+        # budget the tables are built on the host CPU backend instead;
+        # the jitted step streams each batch's arrays H2D per call.
+        import os
+
+        budget = float(os.environ.get("FIT_TABLE_BUDGET_GB", "4")) * 1e9
+        per = sum(a.size * a.dtype.itemsize
+                  for a in jax.tree.leaves(first)
+                  if hasattr(a, "size"))
+        host_tables = len(groups) > 1 and per * len(groups) > budget
+    if host_tables:
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            return [build_group(g) for g in groups]
+    return [first] + [build_group(g) for g in groups[1:]]
 
 
 def fit(
