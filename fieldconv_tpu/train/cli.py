@@ -42,6 +42,9 @@ def parse_args(argv=None):
                         "runs the whole model off ONE CompactPanelTable "
                         "(5.7x less table memory, no block-panel build; "
                         "requires --echo-impl compact)")
+    p.add_argument("--sample-n", type=int, default=None,
+                   help="FPS sample count override (presets: SHAPESEG "
+                        "1024, SHREC19 2048, others full mesh)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log", default=None, help="metrics JSONL path")
     p.add_argument("--seed", type=int, default=0)
@@ -93,6 +96,8 @@ def main(argv=None):
             overrides["conv_impl"] = args.conv_impl
         if args.panel_threshold is not None:
             overrides["panel_threshold"] = args.panel_threshold
+        if args.sample_n is not None:
+            overrides["sample_n"] = args.sample_n
         if overrides:
             config = dataclasses.replace(config, **overrides)
         if not args.root:
@@ -170,6 +175,13 @@ def synthetic_records(n_per_class=3, n_classes=2):
                 name=f"syn{c}_{k}", labels=np.int64(c),
             ))
     return records, n_classes
+
+
+def console_main():
+    """Console-script entry (pyproject [project.scripts]): main() returns
+    the final metric for programmatic callers; an exit code must be 0."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

@@ -533,3 +533,41 @@ def test_faustrm_full_dress_rehearsal(tmp_path):
         "--seed", "0",
     ])
     assert metric is not None and np.isfinite(metric)
+
+
+@pytest.mark.slow
+def test_shapeseg_full_dress_rehearsal(tmp_path):
+    """SHAPESEG archive (genuine nested-zip layout, all 5 corpora) →
+    _process → cache → cli --task segmentation end-to-end for one epoch:
+    closes the cli/fit seam for the segmentation task (the layout
+    semantics themselves are pinned by test_shapeseg_process_real_layout)."""
+    from fieldconv_tpu.train import cli
+
+    root = str(tmp_path / "shapeseg")
+    os.makedirs(root)
+    _fake_shapeseg_zip(root)
+
+    metric = cli.main([
+        "--task", "segmentation", "--root", root, "--epochs", "1",
+        "--seed", "0",
+    ])
+    assert metric is not None and 0.0 <= metric <= 1.0
+
+
+@pytest.mark.slow
+def test_shrec19_full_dress_rehearsal(tmp_path):
+    """SHREC19 archive (models/ + pairs/ + gt/) → _process (split
+    generation, FPS, samplesToNearest) → cache → cli --task matching
+    end-to-end: twin training over the generated pairs plus the TwinEval
+    FP/FN test metric."""
+    from fieldconv_tpu.train import cli
+
+    root = str(tmp_path / "shrec19")
+    os.makedirs(root)
+    _fake_shrec19_zip(root)
+
+    err = cli.main([
+        "--task", "matching", "--root", root, "--epochs", "2",
+        "--seed", "0", "--sample-n", "16",
+    ])
+    assert err is not None and np.isfinite(err) and err >= 0.0
