@@ -46,6 +46,9 @@ def parse_args(argv=None):
                    help="FPS sample count override (presets: SHAPESEG "
                         "1024, SHREC19 2048, others full mesh)")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--export", default=None, metavar="DIR",
+                   help="after training, write a deployable bundle "
+                        "(config + params; see fieldconv_tpu.deploy) here")
     p.add_argument("--log", default=None, help="metrics JSONL path")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
@@ -114,6 +117,14 @@ def main(argv=None):
     )
     if metric is not None:
         print(f"final eval metric: {metric:.4f}")
+    if args.export:
+        from ..deploy import export_bundle
+
+        meta = {"task": config.task, "step": int(np.asarray(state.step))}
+        if metric is not None:
+            meta["final_metric"] = float(metric)
+        export_bundle(args.export, config, state.params, n_classes, meta)
+        print(f"exported bundle to {args.export}")
     return metric
 
 
@@ -136,6 +147,14 @@ def run_matching(args, config):
     )
     fp, fn = rates
     print(f"Test split: FP: {fp:.4f}, FN: {fn:.4f}, Err: {fp+fn:.4f}")
+    if args.export:
+        from ..deploy import export_bundle
+
+        export_bundle(args.export, config, state.params, 1,
+                      {"task": "matching", "fp": float(fp),
+                       "fn": float(fn),
+                       "step": int(np.asarray(state.step))})
+        print(f"exported bundle to {args.export}")
     return fp + fn
 
 
