@@ -159,6 +159,34 @@ class Predictor:
                 f"batching produced {i} outputs for {len(records)} records")
         return outs
 
+    def match(self, source_records: Sequence, target_records: Sequence,
+              mu: Optional[float] = None, ratio: float = 0.5,
+              chunk: int = 1024) -> List[dict]:
+        """Dense shape matching with a deployed MatchingNet: each source
+        vertex is matched to its nearest-descriptor target vertex
+        (deploy/matching.py).  Returns one dict per (source, target) pair:
+
+          {"indices": (S,) target ids, "sq_dist": (S,),
+           "accepted": (S,) bool — sq_dist < mu*ratio, the twin_eval
+           decision threshold (nn/losses.py::twin_eval)}
+
+        mu defaults to the bundle config's twin_mu."""
+        if self.config.task != "matching":
+            raise ValueError(
+                f"match() needs a matching bundle, got {self.config.task!r}")
+        from .matching import descriptor_match
+
+        mu = self.config.twin_mu if mu is None else mu
+        src = self.predict(source_records)
+        tgt = self.predict(target_records)
+        outs = []
+        for s, t in zip(src, tgt):
+            idx, d2 = descriptor_match(s["descriptors"], t["descriptors"],
+                                       chunk=chunk)
+            outs.append({"indices": idx, "sq_dist": d2,
+                         "accepted": d2 < mu * ratio})
+        return outs
+
     def _to_output(self, y: np.ndarray, n: int) -> dict:
         task = self.config.task
         if task == "classification":

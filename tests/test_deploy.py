@@ -211,3 +211,43 @@ def test_train_cli_export_then_deploy_cli(tmp_path, rng, monkeypatch):
     data = np.load(out_npz)
     assert f"{recs[0].name}/class" in data
     assert data[f"{recs[0].name}/logits"].shape == (3,)
+
+
+def test_descriptor_match_bruteforce(rng):
+    """Chunked MXU nearest-descriptor search == numpy brute force, incl.
+    a source count that is not a chunk multiple."""
+    from fieldconv_tpu.deploy.matching import descriptor_match
+
+    fs = rng.normal(size=(37, 8)).astype(np.float32)
+    ft = rng.normal(size=(53, 8)).astype(np.float32)
+    idx, d2 = descriptor_match(fs, ft, chunk=16)
+    ref_d2 = ((fs[:, None, :] - ft[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(idx, np.argmin(ref_d2, axis=1))
+    np.testing.assert_allclose(d2, ref_d2.min(axis=1), rtol=1e-4, atol=1e-4)
+
+
+def test_predictor_match_pairs(tmp_path, rng):
+    """A deployed MatchingNet matches two shapes end-to-end; identical
+    shapes match mostly to themselves with near-zero distance."""
+    from fieldconv_tpu.deploy import Predictor, export_bundle
+
+    config = _tiny_config("matching")
+    recs = _records(rng, task="classification", n_meshes=2, N=20)
+    net, params, _ = _init_params(config, recs, n_classes=1)
+    path = export_bundle(str(tmp_path / "m"), config, params, 1)
+
+    pred = Predictor(path)
+    outs = pred.match([recs[0]], [recs[0]])   # self-match
+    assert len(outs) == 1
+    o = outs[0]
+    assert set(o) == {"indices", "sq_dist", "accepted"}
+    assert o["indices"].shape == (recs[0].n_samples,)
+    # self-match: every vertex's nearest descriptor distance is ~0
+    np.testing.assert_allclose(o["sq_dist"], 0.0, atol=1e-5)
+    assert o["accepted"].all()
+
+    with pytest.raises(ValueError, match="matching bundle"):
+        cfg2 = _tiny_config("classification")
+        _, p2, _ = _init_params(cfg2, recs, n_classes=3)
+        path2 = export_bundle(str(tmp_path / "c"), cfg2, p2, 3)
+        Predictor(path2).match([recs[0]], [recs[0]])
