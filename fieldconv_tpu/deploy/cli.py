@@ -143,5 +143,11 @@ def main(argv=None):
     return outs
 
 
+def console_main():
+    """Console-script entry (pyproject [project.scripts])."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()
