@@ -10,9 +10,6 @@ carry the documented fields at true (unpadded) lengths.
 import numpy as np
 import pytest
 
-from conftest import random_graph  # noqa: F401  (fixture-style helper import)
-
-
 def _records(rng, task="classification", n_meshes=3, N=20, n_classes=3):
     from fieldconv_tpu.data.base import MeshRecord
 
