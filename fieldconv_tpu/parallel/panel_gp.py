@@ -443,6 +443,78 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
     return value_and_grad
 
 
+def make_panel_gp_forward(net, config, mesh: Mesh, meta: PanelGPBatch):
+    """(params, batch) -> deterministic model output over panel shards —
+    the graph-parallel INFERENCE path (serving the 100k+ regime; the
+    training counterpart is make_panel_gp_value_and_grad above).
+
+    No augmentation, no dropout, no loss: each shard computes its local
+    rows; per-vertex outputs come back sharded on 'graph' (global (N_pad,
+    ...) under the mesh), classification's pooled logits replicated."""
+    from .gp import VertexMeta
+
+    task = config.task
+    all_compact = meta.sten is None
+    halo = meta.csend_idx is not None
+
+    def fwd(params, pos, vmask, *targs):
+        i = 0
+        sh = None
+        if not all_compact:
+            sten, m, m_s, cov = targs[:4]
+            i = 4
+            sh = local_shard(PanelShards(
+                sten=sten, meta=m, meta_s=m_s, coverage=cov,
+                tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
+                band_limit=meta.band_limit, n_rings=meta.n_rings,
+                compressed=meta.compressed))
+        if meta.csten is not None:
+            csten, cmeta, csrc = targs[i:i + 3]
+            ckw = dict(
+                sten=csten, meta=cmeta, src_idx=csrc,
+                tb=meta.c_tb, n_pad=meta.n_pad, n_local=meta.n_local,
+                band_limit=meta.band_limit, n_rings=meta.n_rings,
+                compressed=meta.c_compressed, ts=meta.c_ts)
+            if halo:
+                comp_sh = CompactHaloShards(send_idx=targs[i + 3], **ckw)
+            else:
+                comp_sh = CompactShards(**ckw)
+        else:
+            comp_sh = sh
+        if all_compact:
+            sh = comp_sh
+        vm = VertexMeta(vmask=vmask, n_valid=meta.n_valid,
+                        band_limit=meta.band_limit, n_rings=meta.n_rings)
+        if task == "correspondence":
+            return net.apply(params, pos, vm, sh, comp_sh,
+                             deterministic=True)
+        return net.apply(params, pos, vm, sh, comp_sh)
+
+    g = P("graph")
+    n_tbl = (0 if all_compact else 4)
+    if meta.csten is not None:
+        n_tbl += 4 if halo else 3
+    out_spec = P() if task == "classification" else g
+    smapped = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), g, g) + (g,) * n_tbl,
+        out_specs=out_spec,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def forward(params, b: PanelGPBatch):
+        targs = () if all_compact else (b.sten, b.meta, b.meta_s,
+                                        b.coverage)
+        if b.csten is not None:
+            targs += (b.csten, b.cmeta, b.csrc_idx)
+            if halo:
+                targs += (b.csend_idx,)
+        return smapped(params, b.pos, b.vmask, *targs)
+
+    return forward
+
+
 def make_panel_gp_train_step(net, config, n_classes: int, opt, mesh: Mesh,
                              meta: PanelGPBatch):
     """Jitted full-model train step over panel shards (the 100k-config

@@ -333,3 +333,59 @@ def test_all_compact_gp_full_model_matches_single_device(rng, halo):
             np.asarray(flatg[path]), np.asarray(leaf),
             rtol=1e-3, atol=2e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.parametrize("halo", [False, True])
+def test_panel_gp_forward_matches_single_device(rng, halo):
+    """The graph-parallel INFERENCE path (make_panel_gp_forward — serving
+    at the 100k+ regime): sharded deterministic forward output == the
+    single-device all-compact forward, every vertex row."""
+    import jax.numpy as jnp
+    from fieldconv_tpu.models import CorrespondenceNet
+    from fieldconv_tpu.parallel.panel_gp import (
+        make_panel_gp_forward, panel_gp_batch, place_panel_gp_batch)
+    from fieldconv_tpu.precomp.banded import (build_compact_panel_table,
+                                              halo_compact_shards,
+                                              shard_compact_table)
+    from fieldconv_tpu.train.config import ExperimentConfig
+
+    n_shards = 4
+    B, R = 1, 3
+    g = random_graph(rng, n_vertices=96, avg_deg=5, B=B, R=R, epsilon=0.5)
+    pos_full = rng.normal(size=(g["n_vertices"], 3))
+    perm = kd_order(pos_full, tb=8)
+    edges_r, w, pos_r = reorder_precompute(perm, g["edges"], g["w"],
+                                           pos_full)
+    table = build_edge_table(edges_r, g["log_mag"], g["log_ang"], w,
+                             g["xp"], g["n_vertices"], B, R,
+                             g["epsilon"], n_multiple=8 * n_shards)
+    compact = build_compact_panel_table(table, tb=8, ts=8)
+    cshards = shard_compact_table(compact, n_shards)
+    if halo:
+        cshards = halo_compact_shards(cshards, h_multiple=4)
+
+    N = table.n_pad
+    pos = np.zeros((N, 3), np.float32)
+    pos[:table.n_valid] = pos_r[:table.n_valid]
+    labels = np.full(N, -1, np.int32)
+    net1 = CorrespondenceNet(n_classes=7, nf=6, n_des=4, n_bins=2,
+                             band_limit=B, n_rings=R, dropout=0.0)
+    netg = net1.clone(axis_name="graph")
+    config = ExperimentConfig(task="correspondence", band_limit=B,
+                              n_rings=R, echo_impl="compact",
+                              conv_impl="compact")
+
+    params = net1.init(jax.random.key(0), pos, table)
+    want = np.asarray(net1.apply(params, pos, table, compact, compact,
+                                 deterministic=True))
+
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    b = panel_gp_batch(pos, labels=labels, table=table, shards=None,
+                       compact_shards=cshards)
+    b = place_panel_gp_batch(b, mesh)
+    fwd = make_panel_gp_forward(netg, config, mesh, b)
+    with mesh:
+        got = np.asarray(fwd(params, b))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
