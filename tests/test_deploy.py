@@ -248,3 +248,21 @@ def test_predictor_match_pairs(tmp_path, rng):
         _, p2, _ = _init_params(cfg2, recs, n_classes=3)
         path2 = export_bundle(str(tmp_path / "c"), cfg2, p2, 3)
         Predictor(path2).match([recs[0]], [recs[0]])
+
+
+def test_predictor_banded_path_matches_xla(tmp_path, rng):
+    """Serving through the Pallas banded layout (banded_tb=) predicts the
+    same labels/logits as the XLA gather path — the deploy CLI's
+    --banded-tb flag is safe to flip on."""
+    from fieldconv_tpu.deploy import Predictor, export_bundle
+
+    config = _tiny_config("segmentation")
+    recs = _records(rng, task="segmentation", n_meshes=2, N=20)
+    net, params, _ = _init_params(config, recs, n_classes=3)
+    path = export_bundle(str(tmp_path / "s"), config, params, 3)
+
+    xla = Predictor(path).predict(recs)
+    banded = Predictor(path, banded_tb=8).predict(recs)
+    for a, b in zip(xla, banded):
+        np.testing.assert_allclose(a["logits"], b["logits"],
+                                   rtol=5e-4, atol=5e-5)
