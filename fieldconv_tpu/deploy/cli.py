@@ -44,6 +44,20 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+# per-task offline preprocessing, matching the training dataset classes
+# exactly (a served mesh must see the same transform chain the training
+# meshes did): SHAPESEG appends NormalizeAxes (data/shapeseg.py
+# post_axes=True, segmentation.ipynb cell 6); FAUSTRM / SHREC19 skip the
+# area normalization (data/faustrm.py:65, data/shrec19.py:111 — the
+# reference chains have no NormalizeArea for those tasks)
+_TASK_PREPROC = {
+    "classification": dict(normalize=True, post_axes=False),
+    "segmentation": dict(normalize=True, post_axes=True),
+    "correspondence": dict(normalize=False, post_axes=False),
+    "matching": dict(normalize=False, post_axes=False),
+}
+
+
 def records_from_meshes(paths, config):
     from ..data.base import process_mesh
     from ..data.meshio import read_obj, read_off, read_ply
@@ -61,6 +75,7 @@ def records_from_meshes(paths, config):
             name=os.path.basename(path),
             labels=np.int64(-1),
             max_neighbors=config.max_neighbors,
+            **_TASK_PREPROC[config.task],
         ))
     return recs
 

@@ -266,3 +266,39 @@ def test_predictor_banded_path_matches_xla(tmp_path, rng):
     for a, b in zip(xla, banded):
         np.testing.assert_allclose(a["logits"], b["logits"],
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_raw_mesh_cli_preprocessing_matches_training(tmp_path, rng):
+    """The raw-mesh serving path applies the TASK's training transform
+    chain: a mesh served to a segmentation bundle must produce the same
+    record a SHAPESEG-style build would (post_axes), and correspondence
+    must skip area normalization like FAUSTRM does."""
+    from fieldconv_tpu.data.base import process_mesh
+    from fieldconv_tpu.data.meshio import read_off
+    from fieldconv_tpu.data.synthetic import icosphere
+    from fieldconv_tpu.deploy.cli import _TASK_PREPROC, records_from_meshes
+
+    v, f = icosphere(subdiv=1)
+    v = v * np.array([1.0, 1.3, 0.7]) + 0.1   # break symmetry, off-center
+    off = tmp_path / "m.off"
+    with open(off, "w") as fh:
+        fh.write(f"OFF\n{len(v)} {len(f)} 0\n")
+        for p in v:
+            fh.write(f"{p[0]} {p[1]} {p[2]}\n")
+        for t in f:
+            fh.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+    for task in ("segmentation", "correspondence"):
+        config = _tiny_config(task)
+        rec = records_from_meshes([str(off)], config)[0]
+        want = process_mesh(
+            np.asarray(v, np.float64), np.asarray(f, np.int64),
+            epsilon=config.epsilon, sample_n=None, name="w",
+            labels=np.int64(-1), **_TASK_PREPROC[task])
+        np.testing.assert_allclose(rec.pos, want.pos, rtol=1e-6)
+        np.testing.assert_allclose(rec.log_mag, want.log_mag, rtol=1e-5)
+
+    # the two chains genuinely differ on this mesh (else the test is vacuous)
+    seg = records_from_meshes([str(off)], _tiny_config("segmentation"))[0]
+    cor = records_from_meshes([str(off)], _tiny_config("correspondence"))[0]
+    assert not np.allclose(seg.pos, cor.pos)
