@@ -44,6 +44,21 @@ class MeshRecord:
     # (correspondence.ipynb cell 5), so the per-draw centering offset is the
     # full-vertex mean.  None (legacy records) falls back to the sample mean.
     center_mean: np.ndarray = None  # (3,)
+    # (S,) FULL-mesh vertex id of each sample (pre-reorder sample order);
+    # the input-file vertex behind output row i is
+    # sample_idx[rcm_perm[i]] — see vertex_ids().  None on legacy records.
+    sample_idx: np.ndarray = None
+
+    def vertex_ids(self) -> np.ndarray:
+        """(S,) original-mesh vertex id for each record row (model output
+        row i corresponds to input-file vertex vertex_ids()[i]); identity
+        when the mesh was not subsampled and legacy records lack
+        sample_idx."""
+        perm = (self.rcm_perm if self.rcm_perm is not None
+                else np.arange(self.n_samples))
+        if self.sample_idx is None:
+            return np.asarray(perm, np.int64)
+        return np.asarray(self.sample_idx, np.int64)[perm]
 
     @property
     def n_samples(self) -> int:
@@ -175,6 +190,7 @@ def process_mesh(
         epsilon=float(epsilon),
         rcm_perm=np.asarray(perm, np.int64),
         center_mean=center_mean.astype(np.float32),
+        sample_idx=sample_idx,
     )
 
 
@@ -201,6 +217,8 @@ class ArtifactStore:
             else np.arange(rec.n_samples),
             center_mean=rec.center_mean if rec.center_mean is not None
             else rec.pos.mean(axis=0),
+            sample_idx=rec.sample_idx if rec.sample_idx is not None
+            else np.arange(rec.n_samples),
         )
 
     def load(self, key: str) -> MeshRecord:
@@ -212,6 +230,7 @@ class ArtifactStore:
             epsilon=float(z["epsilon"]),
             rcm_perm=z["rcm_perm"] if "rcm_perm" in z else None,
             center_mean=z["center_mean"] if "center_mean" in z else None,
+            sample_idx=z["sample_idx"] if "sample_idx" in z else None,
         )
 
 

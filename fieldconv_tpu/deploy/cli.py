@@ -44,18 +44,27 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-# per-task offline preprocessing, matching the training dataset classes
-# exactly (a served mesh must see the same transform chain the training
-# meshes did): SHAPESEG appends NormalizeAxes (data/shapeseg.py
-# post_axes=True, segmentation.ipynb cell 6); FAUSTRM / SHREC19 skip the
-# area normalization (data/faustrm.py:65, data/shrec19.py:111 — the
-# reference chains have no NormalizeArea for those tasks)
-_TASK_PREPROC = {
-    "classification": dict(normalize=True, post_axes=False),
-    "segmentation": dict(normalize=True, post_axes=True),
-    "correspondence": dict(normalize=False, post_axes=False),
-    "matching": dict(normalize=False, post_axes=False),
-}
+def _task_preproc(task, v, f):
+    """Per-task offline preprocessing, matching the training dataset
+    classes exactly (a served mesh must see the same transform chain the
+    training meshes did):
+
+    - classification: NormalizeArea inside process_mesh (data/shrec11.py)
+    - segmentation: NormalizeArea + trailing NormalizeAxes
+      (data/shapeseg.py post_axes=True, segmentation.ipynb cell 6)
+    - correspondence / matching: sqrt(surface-area) scaling WITHOUT the
+      bbox centering — the datasets scale manually and pass
+      normalize=False (data/faustrm.py:57-59, data/shrec19.py:104-107)
+
+    Returns (vertices, process_mesh kwargs)."""
+    if task == "classification":
+        return v, dict(normalize=True, post_axes=False)
+    if task == "segmentation":
+        return v, dict(normalize=True, post_axes=True)
+    from ..geometry.mesh import TriMesh
+
+    v = v / np.sqrt(TriMesh(v, f).surface_area())
+    return v, dict(normalize=False, post_axes=False)
 
 
 def records_from_meshes(paths, config):
@@ -69,13 +78,16 @@ def records_from_meshes(paths, config):
         if ext not in readers:
             raise SystemExit(f"unsupported mesh format {ext!r}: {path}")
         v, f = readers[ext](path)
+        v = np.asarray(v, np.float64)
+        f = np.asarray(f, np.int64)
+        v, kw = _task_preproc(config.task, v, f)
         recs.append(process_mesh(
-            np.asarray(v, np.float64), np.asarray(f, np.int64),
+            v, f,
             epsilon=config.epsilon, sample_n=config.sample_n,
             name=os.path.basename(path),
             labels=np.int64(-1),
             max_neighbors=config.max_neighbors,
-            **_TASK_PREPROC[config.task],
+            **kw,
         ))
     return recs
 
@@ -124,7 +136,7 @@ def main(argv=None):
     batches = pred.make_batches(records)
     n_exe = pred.warmup(batches)
     print(f"warm-up: {n_exe} executable(s) for {len(batches)} batch(es)")
-    outs = pred.predict(records)
+    outs = pred.predict(records, batches=batches)
 
     # task metric when ground truth is present
     labeled = [(r, o) for r, o in zip(records, outs)
@@ -153,6 +165,11 @@ def main(argv=None):
         for r, o in zip(records, outs):
             for k, v in o.items():
                 arrays[f"{r.name}/{k}"] = np.asarray(v)
+            if config.task != "classification":
+                # per-vertex outputs are in the record's internal
+                # (subsampled + reordered) row order; this maps row i back
+                # to the input mesh's vertex id (MeshRecord.vertex_ids)
+                arrays[f"{r.name}/vertex_idx"] = r.vertex_ids()
         np.savez_compressed(args.out, **arrays)
         print(f"wrote {len(arrays)} arrays to {args.out}")
     return outs

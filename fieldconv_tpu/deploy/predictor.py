@@ -74,12 +74,14 @@ class Predictor:
         self._compiled = {}
 
         task = self.config.task
-        # correspondence carries dropout; inference is deterministic
-        self._apply_kw = ({"deterministic": True}
-                          if task == "correspondence" else {})
+        # correspondence carries dropout; inference is deterministic.
+        # Public so external harnesses (scripts/serve_probe.py) can build
+        # the exact serving forward.
+        self.apply_kw = ({"deterministic": True}
+                         if task == "correspondence" else {})
 
         def forward(params, batch: MeshBatch):
-            return batched_apply(self.net, params, batch, **self._apply_kw)
+            return batched_apply(self.net, params, batch, **self.apply_kw)
 
         self._jit_forward = jax.jit(forward)
 
@@ -89,12 +91,17 @@ class Predictor:
                      d_slots: Optional[int] = None) -> List[MeshBatch]:
         """Bucket + stack records exactly as the trainer does.
 
-        Pass the training-time (n_pad, d_slots) to reuse training's
-        compiled shapes; default derives a bucket from these records."""
+        Pass the training-time (n_pad, d_slots) — both — to reuse
+        training's compiled shapes; default derives a bucket from these
+        records."""
         from ..data.base import shared_bucket
         from ..train.loop import make_batches
 
-        if n_pad is None or d_slots is None:
+        if (n_pad is None) != (d_slots is None):
+            raise ValueError(
+                "pass both n_pad and d_slots (the bucket signature) or "
+                "neither — one alone would be silently recomputed")
+        if n_pad is None:
             n_pad, d_slots = shared_bucket(list(records))
         return make_batches(list(records), self.config, self.batch_size,
                             self.banded_tb, n_pad, d_slots)
@@ -145,7 +152,8 @@ class Predictor:
         return self._jit_forward(self.params, batch)
 
     def predict(self, records: Sequence, n_pad: Optional[int] = None,
-                d_slots: Optional[int] = None) -> List[dict]:
+                d_slots: Optional[int] = None,
+                batches: Optional[List[MeshBatch]] = None) -> List[dict]:
         """Task-level predictions, one dict per input record (in order).
 
         classification: {"class": int, "logits": (n_classes,)}
@@ -153,9 +161,14 @@ class Predictor:
         correspondence: {"map": (N,) target-vertex ids, "logits": ...}
         matching:       {"descriptors": (N, n_des) soft-abs features}
         N is the record's true (unpadded) sample count.
+
+        batches: pass the output of make_batches(records) to skip
+        rebuilding the stencil tables (they can run to ~44 MB per mesh);
+        must correspond to `records` in order.
         """
         records = list(records)
-        batches = self.make_batches(records, n_pad, d_slots)
+        if batches is None:
+            batches = self.make_batches(records, n_pad, d_slots)
         outs: List[dict] = []
         i = 0
         for batch in batches:
@@ -188,6 +201,13 @@ class Predictor:
                 f"match() needs a matching bundle, got {self.config.task!r}")
         from .matching import descriptor_match
 
+        source_records = list(source_records)
+        target_records = list(target_records)
+        if len(source_records) != len(target_records):
+            raise ValueError(
+                f"match() pairs records elementwise: got "
+                f"{len(source_records)} sources vs "
+                f"{len(target_records)} targets")
         mu = self.config.twin_mu if mu is None else mu
         src = self.predict(source_records)
         tgt = self.predict(target_records)

@@ -83,25 +83,25 @@ def main():
         n_exe = pred.warmup([placed])
         warm_s = time.perf_counter() - t0
 
-        # steady-state device latency: scan-chained forwards, one D2H scalar
-        kw = pred._apply_kw
-
+        # steady-state device latency: scan-chained forwards, one D2H
+        # scalar; the body is the Predictor's OWN serving forward (net,
+        # params, apply_kw all from the loaded bundle)
         @jax.jit
         def run_batch(params, b):
             def body(carry, _):
                 bi = dataclasses.replace(b, pos=b.pos + carry)
-                y = batched_apply(net, params, bi, **kw)
+                y = batched_apply(pred.net, params, bi, **pred.apply_kw)
                 return jnp.sum(y) * 1e-20, None
 
             chk, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                   length=ITERS)
             return chk
 
-        float(run_batch(params, placed))        # compile + settle
+        float(run_batch(pred.params, placed))   # compile + settle
         meds = []
         for rep in range(REPS):
             t0 = time.perf_counter()
-            float(run_batch(params, placed))    # tunnel barrier
+            float(run_batch(pred.params, placed))   # tunnel barrier
             meds.append((time.perf_counter() - t0) * 1e3 / ITERS)
         lat = float(np.median(meds))
         print(json.dumps({

@@ -270,13 +270,15 @@ def test_predictor_banded_path_matches_xla(tmp_path, rng):
 
 def test_raw_mesh_cli_preprocessing_matches_training(tmp_path, rng):
     """The raw-mesh serving path applies the TASK's training transform
-    chain: a mesh served to a segmentation bundle must produce the same
-    record a SHAPESEG-style build would (post_axes), and correspondence
-    must skip area normalization like FAUSTRM does."""
+    chain, validated against the dataset classes' OWN build recipes
+    (not against the CLI's flag table): segmentation must match a
+    SHAPESEG-style build (NormalizeArea + NormalizeAxes), correspondence
+    a FAUSTRM-style build (manual sqrt-area scaling, normalize=False —
+    data/faustrm.py:57-59)."""
     from fieldconv_tpu.data.base import process_mesh
-    from fieldconv_tpu.data.meshio import read_off
     from fieldconv_tpu.data.synthetic import icosphere
-    from fieldconv_tpu.deploy.cli import _TASK_PREPROC, records_from_meshes
+    from fieldconv_tpu.deploy.cli import records_from_meshes
+    from fieldconv_tpu.geometry.mesh import TriMesh
 
     v, f = icosphere(subdiv=1)
     v = v * np.array([1.0, 1.3, 0.7]) + 0.1   # break symmetry, off-center
@@ -288,17 +290,58 @@ def test_raw_mesh_cli_preprocessing_matches_training(tmp_path, rng):
         for t in f:
             fh.write(f"3 {t[0]} {t[1]} {t[2]}\n")
 
-    for task in ("segmentation", "correspondence"):
-        config = _tiny_config(task)
-        rec = records_from_meshes([str(off)], config)[0]
-        want = process_mesh(
-            np.asarray(v, np.float64), np.asarray(f, np.int64),
-            epsilon=config.epsilon, sample_n=None, name="w",
-            labels=np.int64(-1), **_TASK_PREPROC[task])
-        np.testing.assert_allclose(rec.pos, want.pos, rtol=1e-6)
-        np.testing.assert_allclose(rec.log_mag, want.log_mag, rtol=1e-5)
+    # segmentation: the SHAPESEG recipe (base._build with post_axes=True)
+    config = _tiny_config("segmentation")
+    rec = records_from_meshes([str(off)], config)[0]
+    want = process_mesh(
+        np.asarray(v, np.float64), np.asarray(f, np.int64),
+        epsilon=config.epsilon, sample_n=None, name="w",
+        labels=np.int64(-1), normalize=True, post_axes=True)
+    np.testing.assert_allclose(rec.pos, want.pos, rtol=1e-6)
+    np.testing.assert_allclose(rec.log_mag, want.log_mag, rtol=1e-5)
+
+    # correspondence: the FAUSTRM recipe — v /= sqrt(area), THEN
+    # process_mesh(normalize=False) (data/faustrm.py:57-65)
+    config = _tiny_config("correspondence")
+    rec = records_from_meshes([str(off)], config)[0]
+    v64 = np.asarray(v, np.float64)
+    v_scaled = v64 / np.sqrt(TriMesh(v64, f).surface_area())
+    want = process_mesh(
+        v_scaled, np.asarray(f, np.int64),
+        epsilon=config.epsilon, sample_n=None, name="w",
+        labels=np.int64(-1), normalize=False, post_axes=False)
+    np.testing.assert_allclose(rec.pos, want.pos, rtol=1e-6)
+    np.testing.assert_allclose(rec.log_mag, want.log_mag, rtol=1e-5)
 
     # the two chains genuinely differ on this mesh (else the test is vacuous)
     seg = records_from_meshes([str(off)], _tiny_config("segmentation"))[0]
-    cor = records_from_meshes([str(off)], _tiny_config("correspondence"))[0]
-    assert not np.allclose(seg.pos, cor.pos)
+    assert not np.allclose(seg.pos, rec.pos)
+
+
+def test_vertex_ids_roundtrip(rng, tmp_path):
+    """MeshRecord.vertex_ids maps output rows back to input-file vertices
+    through both the FPS subsample and the RCM reorder; the deploy CLI
+    writes it beside per-vertex outputs."""
+    from fieldconv_tpu.data.base import ArtifactStore, process_mesh
+    from fieldconv_tpu.data.synthetic import icosphere
+
+    v, f = icosphere(subdiv=2)
+    rec = process_mesh(np.asarray(v, np.float64), np.asarray(f, np.int64),
+                       epsilon=0.5, sample_n=100, name="m",
+                       labels=np.int64(-1))
+    vid = rec.vertex_ids()
+    assert vid.shape == (rec.n_samples,)
+    # each record row's position is exactly the original vertex it claims
+    # (use an unnormalized build so positions compare directly):
+    rec2 = process_mesh(np.asarray(v, np.float64), np.asarray(f, np.int64),
+                        epsilon=0.5, sample_n=100, name="m2",
+                        labels=np.int64(-1), normalize=False)
+    vid2 = rec2.vertex_ids()
+    np.testing.assert_allclose(rec2.pos, np.asarray(v, np.float32)[vid2],
+                               rtol=1e-6)
+
+    # survives the artifact cache
+    store = ArtifactStore(str(tmp_path))
+    store.save("k", rec2)
+    back = store.load("k")
+    np.testing.assert_array_equal(back.vertex_ids(), vid2)
