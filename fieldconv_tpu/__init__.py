@@ -4,11 +4,12 @@ See README.md; the reference capability set is twmitchel/FieldConv
 (ICCV 2021), re-designed for JAX/XLA/Pallas on TPU.
 """
 
-from . import data, geometry, models, nn, ops, parallel, precomp, train, utils
+from . import (data, deploy, geometry, models, nn, ops, parallel,
+               precomp, train, utils)
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
-    "data", "geometry", "models", "nn", "ops", "parallel", "precomp",
+    "data", "deploy", "geometry", "models", "nn", "ops", "parallel", "precomp",
     "train", "utils", "__version__",
 ]
