@@ -113,8 +113,9 @@ class Predictor:
         re-transfers the stencil tables every call.  Serving a mesh
         repeatedly — the correspondence/segmentation pattern — should
         place it once and reuse the placed batch (scripts/serve_probe.py
-        measures the steady-state device latency this enables: 14.8 ms /
-        8.9 ms per forward at the seg/corr production shapes)."""
+        measures the steady-state device latency this enables: 14.8-25.7 /
+        8.9-23.5 ms per forward at the seg/corr production shapes across
+        runs on the shared chip)."""
         device = jax.devices()[0]
         return jax.tree.map(lambda x: jax.device_put(x, device), batch)
 
