@@ -278,6 +278,8 @@ def main():
     compact_d = jax.device_put(compact) if compact is not None else None
     if int(os.environ.get("SCALE_MODEL", "0")):
         run_full_model(panel_d, table, edges_n, rng, compact=compact_d)
+    if int(os.environ.get("SCALE_INFER", "0")):
+        run_infer(panel_d, table, rng, compact=compact_d)
     if int(os.environ.get("SCALE_DECOMP", "0")):
         if panel_d is None:
             print(json.dumps({"stage": "decomp",
@@ -288,6 +290,75 @@ def main():
             run_decomp(panel_d, table, rng, compact=compact_d)
     print(json.dumps({"stage": "total",
                       "seconds": round(time.time() - t_all, 1)}), flush=True)
+
+
+def run_infer(panel, table, rng, compact=None):
+    """Serving probe at the 163k north star (SCALE_INFER=1): the full
+    correspondence net FORWARD-ONLY — deterministic (no dropout), no
+    grads, no optimizer — plus the chunked 4999-way argmax head, i.e.
+    what `deploy`-style inference of the trained model runs per mesh.
+    Each timed call perturbs pos by a distinct scalar and reads back one
+    device-summed scalar (the anti-dedup + barrier protocol of
+    KERNEL_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fieldconv_tpu.models import CorrespondenceNet
+
+    n_classes = 4999
+    Np = table.n_pad
+    echo_pc = int(os.environ.get("SCALE_ECHO_PC", "8"))
+    n_steps = int(os.environ.get("SCALE_STEPS", "3"))
+    pos = jnp.asarray(rng.normal(size=(Np, 3)) * 0.1, jnp.float32)
+
+    net = CorrespondenceNet(n_classes=n_classes, nf=32, n_des=12, n_bins=2,
+                            band_limit=table.band_limit,
+                            n_rings=table.n_rings,
+                            echo_panel_chunk=echo_pc)
+    comp_tbl = panel if compact is None else compact
+    if compact is not None and \
+            os.environ.get("SCALE_CONV_IMPL", "panel") == "compact":
+        panel = compact
+    params = jax.jit(
+        lambda k, pn, cp: net.init(k, pos, None, pn, cp))(jax.random.key(0),
+                                                          panel, comp_tbl)
+    feat_net = net.clone(return_features=True)
+    HCH = 8192                       # head row-chunk (run_full_model)
+
+    @jax.jit
+    def infer(params, pos, off, panel, comp_tbl):
+        feats = feat_net.apply(params, pos + off, None, panel, comp_tbl,
+                               deterministic=True)
+        w = params["params"]["lin2"]["weight"]
+        b = params["params"]["lin2"]["bias"]
+
+        def chunk_pred(f_c):
+            return jnp.argmax(f_c @ w.T + b, axis=-1)
+
+        nc = -(-Np // HCH)
+        while Np % nc:
+            nc += 1
+        preds = jax.lax.map(chunk_pred, feats.reshape(nc, Np // nc, -1))
+        return jnp.sum(preds)        # one-scalar barrier; preds.reshape(Np)
+                                     # is the serving output
+
+    t0 = time.time()
+    float(infer(params, pos, jnp.float32(0.0), panel, comp_tbl))
+    print(json.dumps({"stage": "infer_compile+first",
+                      "seconds": round(time.time() - t0, 1)}), flush=True)
+    ts = []
+    for i in range(n_steps):
+        t0 = time.time()
+        float(infer(params, pos, jnp.float32(1e-6 * (i + 1)), panel,
+                    comp_tbl))
+        ts.append(time.time() - t0)
+    dt = sorted(ts)[len(ts) // 2]
+    print(json.dumps({
+        "stage": "full_model_infer_tpu", "n_pad": int(Np),
+        "ms_per_inference": round(dt * 1e3, 1),
+        "meshes_per_s": round(1.0 / dt, 2),
+        "comp_layout": "compact" if compact is not None else "panel",
+        "all_ms": [round(t * 1e3, 1) for t in ts]}), flush=True)
 
 
 def run_decomp(panel, table, rng, compact=None):
