@@ -281,8 +281,11 @@ class FieldConvDataset:
         return d
 
     def _mesh_key(self, v, f) -> str:
+        # the trailing schema tag versions the ARTIFACT layout (v2 added
+        # sample_idx); bumping it invalidates caches so rebuilt records
+        # carry every field the current code reads
         return mesh_cache_key(v, f, self.epsilon, self.sample_n, 0, 0,
-                              extra=f"axes{int(self.post_axes)}")
+                              extra=f"axes{int(self.post_axes)}:v2")
 
     # subclasses with a NormalizeAxes tail in their pre_transform chain
     # (SHAPESEG, segmentation.ipynb cell 6) set this True

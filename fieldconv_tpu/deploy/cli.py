@@ -44,7 +44,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _task_preproc(task, v, f):
+def _task_preproc(task, v, f, scale=None):
     """Per-task offline preprocessing, matching the training dataset
     classes exactly (a served mesh must see the same transform chain the
     training meshes did):
@@ -52,9 +52,13 @@ def _task_preproc(task, v, f):
     - classification: NormalizeArea inside process_mesh (data/shrec11.py)
     - segmentation: NormalizeArea + trailing NormalizeAxes
       (data/shapeseg.py post_axes=True, segmentation.ipynb cell 6)
-    - correspondence / matching: sqrt(surface-area) scaling WITHOUT the
-      bbox centering — the datasets scale manually and pass
-      normalize=False (data/faustrm.py:57-59, data/shrec19.py:104-107)
+    - correspondence: per-mesh sqrt(surface-area) scaling WITHOUT the
+      bbox centering — FAUSTRM scales manually and passes normalize=False
+      (data/faustrm.py:57-59)
+    - matching: like correspondence, except BOTH meshes of a (source,
+      target) pair are scaled by the SOURCE's area (data/shrec19.py:
+      104-107) — handled pairwise in records_from_meshes; `scale` here
+      overrides the per-mesh area when given
 
     Returns (vertices, process_mesh kwargs)."""
     if task == "classification":
@@ -63,28 +67,42 @@ def _task_preproc(task, v, f):
         return v, dict(normalize=True, post_axes=True)
     from ..geometry.mesh import TriMesh
 
-    v = v / np.sqrt(TriMesh(v, f).surface_area())
-    return v, dict(normalize=False, post_axes=False)
+    if scale is None:
+        scale = np.sqrt(TriMesh(v, f).surface_area())
+    return v / scale, dict(normalize=False, post_axes=False)
 
 
 def records_from_meshes(paths, config):
     from ..data.base import process_mesh
     from ..data.meshio import read_obj, read_off, read_ply
+    from ..geometry.mesh import TriMesh
 
     readers = {".obj": read_obj, ".off": read_off, ".ply": read_ply}
-    recs = []
+    if config.task == "matching" and len(paths) % 2:
+        raise SystemExit(
+            "matching serves (source, target) PAIRS: pass an even number "
+            "of --mesh files (source1 target1 source2 target2 ...) — both "
+            "meshes of a pair are scaled by the source's surface area, as "
+            "in training (data/shrec19.py:104-107)")
+    meshes = []
     for path in paths:
         ext = os.path.splitext(path)[1].lower()
         if ext not in readers:
             raise SystemExit(f"unsupported mesh format {ext!r}: {path}")
         v, f = readers[ext](path)
-        v = np.asarray(v, np.float64)
-        f = np.asarray(f, np.int64)
-        v, kw = _task_preproc(config.task, v, f)
+        meshes.append((np.asarray(v, np.float64), np.asarray(f, np.int64),
+                       os.path.basename(path)))
+    recs = []
+    for i, (v, f, name) in enumerate(meshes):
+        scale = None
+        if config.task == "matching":
+            vs, fs = meshes[i - i % 2][:2]   # the pair's SOURCE mesh
+            scale = np.sqrt(TriMesh(vs, fs).surface_area())
+        v, kw = _task_preproc(config.task, v, f, scale=scale)
         recs.append(process_mesh(
             v, f,
             epsilon=config.epsilon, sample_n=config.sample_n,
-            name=os.path.basename(path),
+            name=name,
             labels=np.int64(-1),
             max_neighbors=config.max_neighbors,
             **kw,
@@ -168,8 +186,16 @@ def main(argv=None):
             if config.task != "classification":
                 # per-vertex outputs are in the record's internal
                 # (subsampled + reordered) row order; this maps row i back
-                # to the input mesh's vertex id (MeshRecord.vertex_ids)
-                arrays[f"{r.name}/vertex_idx"] = r.vertex_ids()
+                # to the input mesh's vertex id (MeshRecord.vertex_ids).
+                # Legacy caches (pre-sample_idx) of SUBSAMPLED datasets
+                # cannot provide the mapping — omit rather than emit
+                # sample-space indices as if they were vertex ids.
+                if r.sample_idx is None and config.sample_n is not None:
+                    print(f"WARNING: {r.name}: cached record predates "
+                          "sample_idx; vertex_idx omitted (rebuild the "
+                          "dataset cache to restore it)")
+                else:
+                    arrays[f"{r.name}/vertex_idx"] = r.vertex_ids()
         np.savez_compressed(args.out, **arrays)
         print(f"wrote {len(arrays)} arrays to {args.out}")
     return outs

@@ -341,6 +341,61 @@ def place_panel_gp_batch(b: PanelGPBatch, mesh: Mesh) -> PanelGPBatch:
     )
 
 
+def _unpack_shards(meta: PanelGPBatch, targs):
+    """Rebuild each shard's local table views from the flat shard_map
+    args (the inverse of _table_args) — shared by the training and
+    inference shard_map bodies so the positional wire format has exactly
+    one reader.  Returns (conv table `sh`, ECHO/lift table `comp_sh`)."""
+    all_compact = meta.sten is None
+    halo = meta.csend_idx is not None
+    i = 0
+    sh = None
+    if not all_compact:
+        sten, m, m_s, cov = targs[:4]
+        i = 4
+        sh = local_shard(PanelShards(
+            sten=sten, meta=m, meta_s=m_s, coverage=cov,
+            tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
+            band_limit=meta.band_limit, n_rings=meta.n_rings,
+            compressed=meta.compressed))
+    if meta.csten is not None:
+        csten, cmeta, csrc = targs[i:i + 3]
+        ckw = dict(
+            sten=csten, meta=cmeta, src_idx=csrc,
+            tb=meta.c_tb, n_pad=meta.n_pad, n_local=meta.n_local,
+            band_limit=meta.band_limit, n_rings=meta.n_rings,
+            compressed=meta.c_compressed, ts=meta.c_ts)
+        if halo:
+            comp_sh = CompactHaloShards(send_idx=targs[i + 3], **ckw)
+        else:
+            comp_sh = CompactShards(**ckw)
+    else:
+        comp_sh = sh
+    if all_compact:
+        sh = comp_sh
+    return sh, comp_sh
+
+
+def _n_table_args(meta: PanelGPBatch) -> int:
+    """How many flat table args _table_args produces (for in_specs)."""
+    n = 0 if meta.sten is None else 4
+    if meta.csten is not None:
+        n += 4 if meta.csend_idx is not None else 3
+    return n
+
+
+def _table_args(meta: PanelGPBatch, b: PanelGPBatch):
+    """Flatten a batch's shard tables into the positional shard_map args
+    consumed by _unpack_shards."""
+    targs = () if meta.sten is None else (b.sten, b.meta, b.meta_s,
+                                          b.coverage)
+    if meta.csten is not None:
+        targs += (b.csten, b.cmeta, b.csrc_idx)
+        if meta.csend_idx is not None:
+            targs += (b.csend_idx,)
+    return targs
+
+
 def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
                                  meta: PanelGPBatch):
     """(params, key, batch) -> (loss, grads) for the full model over panel
@@ -351,35 +406,9 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
     from .gp import VertexMeta, _mask_to_shard0
 
     task = config.task
-    all_compact = meta.sten is None     # one CompactShards serves every op
-    halo = meta.csend_idx is not None   # boundary-compressed collectives
 
     def loss_fn(params, key, pos, vmask, labels, *targs):
-        i = 0
-        sh = None
-        if not all_compact:
-            sten, m, m_s, cov = targs[:4]
-            i = 4
-            sh = local_shard(PanelShards(
-                sten=sten, meta=m, meta_s=m_s, coverage=cov,
-                tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
-                band_limit=meta.band_limit, n_rings=meta.n_rings,
-                compressed=meta.compressed))
-        if meta.csten is not None:
-            csten, cmeta, csrc = targs[i:i + 3]
-            ckw = dict(
-                sten=csten, meta=cmeta, src_idx=csrc,
-                tb=meta.c_tb, n_pad=meta.n_pad, n_local=meta.n_local,
-                band_limit=meta.band_limit, n_rings=meta.n_rings,
-                compressed=meta.c_compressed, ts=meta.c_ts)
-            if halo:
-                comp_sh = CompactHaloShards(send_idx=targs[i + 3], **ckw)
-            else:
-                comp_sh = CompactShards(**ckw)
-        else:
-            comp_sh = sh
-        if all_compact:
-            sh = comp_sh
+        sh, comp_sh = _unpack_shards(meta, targs)
         vm = VertexMeta(vmask=vmask, n_valid=meta.n_valid,
                         band_limit=meta.band_limit, n_rings=meta.n_rings)
         ka, kdrop = jax.random.split(key)
@@ -417,23 +446,15 @@ def make_panel_gp_value_and_grad(net, config, n_classes: int, mesh: Mesh,
 
     g = P("graph")
     label_spec = g if meta.labels.ndim else P()
-    n_tbl = (0 if all_compact else 4)
-    if meta.csten is not None:
-        n_tbl += 4 if halo else 3
     smapped = jax.shard_map(
         loss_fn, mesh=mesh,
-        in_specs=(P(), P(), g, g, label_spec) + (g,) * n_tbl,
+        in_specs=(P(), P(), g, g, label_spec) + (g,) * _n_table_args(meta),
         out_specs=P(),
         check_vma=False,
     )
 
     def value_and_grad(params, key, b: PanelGPBatch):
-        targs = () if all_compact else (b.sten, b.meta, b.meta_s,
-                                        b.coverage)
-        if b.csten is not None:
-            targs += (b.csten, b.cmeta, b.csrc_idx)
-            if halo:
-                targs += (b.csend_idx,)
+        targs = _table_args(meta, b)
 
         def wrapped(p):
             return smapped(p, key, b.pos, b.vmask, b.labels, *targs)
@@ -454,35 +475,9 @@ def make_panel_gp_forward(net, config, mesh: Mesh, meta: PanelGPBatch):
     from .gp import VertexMeta
 
     task = config.task
-    all_compact = meta.sten is None
-    halo = meta.csend_idx is not None
 
     def fwd(params, pos, vmask, *targs):
-        i = 0
-        sh = None
-        if not all_compact:
-            sten, m, m_s, cov = targs[:4]
-            i = 4
-            sh = local_shard(PanelShards(
-                sten=sten, meta=m, meta_s=m_s, coverage=cov,
-                tb=meta.tb, n_pad=meta.n_pad, n_local=meta.n_local,
-                band_limit=meta.band_limit, n_rings=meta.n_rings,
-                compressed=meta.compressed))
-        if meta.csten is not None:
-            csten, cmeta, csrc = targs[i:i + 3]
-            ckw = dict(
-                sten=csten, meta=cmeta, src_idx=csrc,
-                tb=meta.c_tb, n_pad=meta.n_pad, n_local=meta.n_local,
-                band_limit=meta.band_limit, n_rings=meta.n_rings,
-                compressed=meta.c_compressed, ts=meta.c_ts)
-            if halo:
-                comp_sh = CompactHaloShards(send_idx=targs[i + 3], **ckw)
-            else:
-                comp_sh = CompactShards(**ckw)
-        else:
-            comp_sh = sh
-        if all_compact:
-            sh = comp_sh
+        sh, comp_sh = _unpack_shards(meta, targs)
         vm = VertexMeta(vmask=vmask, n_valid=meta.n_valid,
                         band_limit=meta.band_limit, n_rings=meta.n_rings)
         if task == "correspondence":
@@ -491,26 +486,17 @@ def make_panel_gp_forward(net, config, mesh: Mesh, meta: PanelGPBatch):
         return net.apply(params, pos, vm, sh, comp_sh)
 
     g = P("graph")
-    n_tbl = (0 if all_compact else 4)
-    if meta.csten is not None:
-        n_tbl += 4 if halo else 3
     out_spec = P() if task == "classification" else g
     smapped = jax.shard_map(
         fwd, mesh=mesh,
-        in_specs=(P(), g, g) + (g,) * n_tbl,
+        in_specs=(P(), g, g) + (g,) * _n_table_args(meta),
         out_specs=out_spec,
         check_vma=False,
     )
 
     @jax.jit
     def forward(params, b: PanelGPBatch):
-        targs = () if all_compact else (b.sten, b.meta, b.meta_s,
-                                        b.coverage)
-        if b.csten is not None:
-            targs += (b.csten, b.cmeta, b.csrc_idx)
-            if halo:
-                targs += (b.csend_idx,)
-        return smapped(params, b.pos, b.vmask, *targs)
+        return smapped(params, b.pos, b.vmask, *_table_args(meta, b))
 
     return forward
 

@@ -345,3 +345,40 @@ def test_vertex_ids_roundtrip(rng, tmp_path):
     store.save("k", rec2)
     back = store.load("k")
     np.testing.assert_array_equal(back.vertex_ids(), vid2)
+
+
+def test_raw_mesh_matching_pairs_scale_by_source_area(tmp_path, rng):
+    """Matching serves (source, target) pairs: BOTH meshes are scaled by
+    the SOURCE's surface area, as SHREC19 training does
+    (data/shrec19.py:104-107); an odd mesh count is rejected."""
+    from fieldconv_tpu.data.base import process_mesh
+    from fieldconv_tpu.data.synthetic import icosphere
+    from fieldconv_tpu.deploy.cli import records_from_meshes
+    from fieldconv_tpu.geometry.mesh import TriMesh
+
+    paths = []
+    meshes = []
+    for i, r in enumerate([1.0, 2.0]):   # unequal areas
+        v, f = icosphere(subdiv=1)
+        v = v * r
+        p = tmp_path / f"m{i}.off"
+        with open(p, "w") as fh:
+            fh.write(f"OFF\n{len(v)} {len(f)} 0\n")
+            for q in v:
+                fh.write(f"{q[0]} {q[1]} {q[2]}\n")
+            for t in f:
+                fh.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+        paths.append(str(p))
+        meshes.append((np.asarray(v, np.float64), np.asarray(f, np.int64)))
+
+    config = _tiny_config("matching")
+    src_scale = np.sqrt(TriMesh(*meshes[0]).surface_area())
+    recs = records_from_meshes(paths, config)
+    for (v, f), rec in zip(meshes, recs):
+        want = process_mesh(v / src_scale, f, epsilon=config.epsilon,
+                            sample_n=None, name="w", labels=np.int64(-1),
+                            normalize=False, post_axes=False)
+        np.testing.assert_allclose(rec.pos, want.pos, rtol=1e-6)
+
+    with pytest.raises(SystemExit, match="PAIRS"):
+        records_from_meshes(paths[:1], config)
